@@ -1,0 +1,127 @@
+"""SLAM configuration.
+
+TPU-native equivalent of the reference's single ``State`` struct of tunables
+(reference src/slam/src/state.hpp:29-78 and the FAST/AVERAGE/ACCURATE preset
+table at state.hpp:9-17).  Unlike the reference — where State is a mutable
+object threaded through every subsystem — this is a frozen, hashable
+dataclass used as a *static* argument to ``jax.jit``: changing a field
+recompiles the step function, which is the XLA-correct way to handle
+"flags" that alter control flow or shapes.
+
+Shape-determining fields (max_keypoints, max_landmarks, window size, …) are
+derived once here; every downstream array in the state pytree has a static
+shape computed from them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # ---- image geometry -------------------------------------------------
+    width: int = 640
+    height: int = 480
+    # ROI border in pixels inside which keypoints are valid
+    # (reference camera_calibration.cpp:20-22, border 20 at system.cpp:29).
+    image_border: int = 20
+
+    # ---- feature detection ----------------------------------------------
+    # Grid cell size; one keypoint per cell max
+    # (reference system.cpp:15 sets 40; state.cpp:8-11 derives the budget).
+    cell_size: int = 40
+    # Shi-Tomasi quality: candidate accepted if response > quality * max_response
+    # of its cell's local maximum (reference feature_extractor.cpp:70-90 uses an
+    # adaptive absolute threshold; we use a relative one — same effect, static).
+    detector_quality: float = 0.001
+    # CLAHE off by default (reference system.cpp:17)
+    use_clahe: bool = False
+    clahe_clip: float = 3.0
+
+    # ---- KLT tracking (reference state.hpp:47-58) ------------------------
+    pyramid_levels: int = 3
+    klt_window: int = 9          # 9x9 window
+    klt_iters: int = 30
+    klt_eps: float = 0.01
+    klt_err_max: float = 30.0    # max mean abs intensity residual
+    klt_fb_dist: float = 0.5     # forward-backward round-trip gate, px
+    klt_prior_levels: int = 1    # 3D points tracked from motion prior at 1 level
+                                 # (reference visual_frontend.cpp:162-171)
+
+    # ---- robust estimation (reference state.hpp:68-69) -------------------
+    ransac_iters: int = 100
+    ransac_err_px: float = 3.0
+    init_min_inliers: int = 10   # 5-pt essential gate (multi_view_geometry.cpp:283)
+    p3p_min_inliers: int = 5     # p3p gate (visual_frontend.cpp:304-357)
+    use_p3p: bool = True         # reference system.cpp:19
+
+    # ---- solver budgets ---------------------------------------------------
+    pnp_iters: int = 5           # motion-only PnP LM iterations (mvg.cpp:184)
+    ba_iters: int = 5            # local BA LM iterations (optimizer.cpp:256)
+    huber_thresh: float = math.sqrt(5.9915)  # chi2 95% 2-dof (mvg.cpp:160)
+    use_inverse_depth: bool = True           # state.hpp:74 baInverseDepthEnabled_
+    ba_min_covisibility: int = 25            # constant-pose gate (optimizer.cpp:94)
+
+    # ---- keyframe / map policy -------------------------------------------
+    window_size: int = 30        # keyframe ring buffer (mapper.cpp:14-18)
+    max_landmarks: int = 4096    # landmark pool size (fixed-shape)
+    kf_filtering_ratio: float = 0.95  # redundancy filter (system.cpp:18)
+    triang_max_reproj_px: float = 3.0  # temporal triangulation gate (mapper.cpp:230)
+    match_nndr: float = 0.9      # Hamming best/second ratio (mapper.cpp:478)
+    match_max_hamming: int = 65  # max descriptor distance for a match
+
+    # ---- bootstrap gates (state.hpp:37, visual_frontend.cpp:56-60) --------
+    init_parallax_px: float = 40.0
+    min_init_keypoints: int = 50
+    max_pose_failures: int = 3
+
+    # ---- plane detection (system.cpp:181,229,269) -------------------------
+    plane_iters: int = 250
+    plane_min_points: int = 32
+    plane_max_tilt_deg: float = 5.0
+    plane_inlier_scale: float = 1.4
+
+    # ---- descriptors -------------------------------------------------------
+    desc_bytes: int = 32         # 256-bit binary descriptor
+    orb_patch: int = 31          # patch diameter for orientation/sampling
+
+    # ---- compute ------------------------------------------------------------
+    dtype: str = "float32"
+    use_pallas: bool = True      # Pallas kernels on TPU; pure-XLA fallback otherwise
+    seed: int = 0                # deterministic PRNG (reference is nondeterministic,
+                                 # system.cpp:210 std::random_device — we diverge)
+
+    # ------------------------------------------------------------------
+    @property
+    def grid_cells(self) -> Tuple[int, int]:
+        """(rows, cols) of the detection grid."""
+        return (_cdiv(self.height, self.cell_size), _cdiv(self.width, self.cell_size))
+
+    @property
+    def max_keypoints(self) -> int:
+        """Keypoint budget = number of grid cells (reference state.cpp:8-11)."""
+        r, c = self.grid_cells
+        return r * c
+
+    @property
+    def pyr_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        """Static (h, w) of each pyramid level."""
+        shapes = []
+        h, w = self.height, self.width
+        for _ in range(self.pyramid_levels):
+            shapes.append((h, w))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        return tuple(shapes)
+
+
+# Presets mirroring the reference table (state.hpp:9-17).
+FAST = SlamConfig(cell_size=50, klt_iters=20, ransac_iters=50, ba_iters=3)
+AVERAGE = SlamConfig()
+ACCURATE = SlamConfig(cell_size=30, klt_iters=30, ransac_iters=200, ba_iters=10)
