@@ -30,7 +30,8 @@ def triangulate_midpoint(rel_pose_01: SE3, f0, f1):
     Returns:
       points [..., 3] in cam0 frame.
     """
-    t = jnp.broadcast_to(rel_pose_01.t, f0.shape)
+    t = jnp.broadcast_to(rel_pose_01.t,
+                         jnp.broadcast_shapes(rel_pose_01.t.shape, f0.shape))
     f1_w = rel_pose_01.rotate(f1)  # bearing of cam1 rotated into cam0
 
     # Solve [f0, -f1_w] [l0, l1]^T ≈ t   (2x2 normal equations, closed form)

@@ -1,0 +1,148 @@
+"""Motion-only PnP: masked Levenberg-Marquardt pose refinement.
+
+TPU-native replacement for the reference's ``MultiViewGeometry::ceresPnP``
+(reference src/slam/src/multi_view_geometry.cpp:129-223): motion-only
+bundle adjustment of one SE(3) pose against fixed 3D points — Huber loss
+(√5.9915), LM with ≤5 iterations (DENSE_QR there; the normal equations are
+6x6, solved in closed form here), followed by chi²/negative-depth outlier
+pruning and an L2 re-solve (multi_view_geometry.cpp:192-218).
+
+Design: residuals are undistorted-pixel reprojection errors; the Jacobian
+is assembled analytically per point (2x6: projection chain rule times the
+left-retraction generator [I | −[X_c]×], matching the reference's
+``ReprojectionErrorSE3`` factor, ceres_parametrization.cpp:96-155).  The
+LM loop is a fixed-length ``lax.scan`` with branch-free accept/reject
+(no dynamic control flow), and invalid points carry zero weight — the
+whole solve is one fused XLA program, and ``vmap`` batches it across
+streams.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alvaar_tpu.geom.camera import Camera
+from alvaar_tpu.geom.lie import SE3, so3_hat
+
+CHI2_THRESH_2DOF = 5.9915  # 95% chi-square, 2 dof (reference mvg.cpp:160)
+
+
+class PnPResult(NamedTuple):
+    pose: SE3              # refined T_c_w
+    inliers: jax.Array     # [N] bool (chi2 + positive depth)
+    num_inliers: jax.Array
+    cost: jax.Array
+
+
+def _residuals_jacobian(pose_cw: SE3, cam: Camera, points_w, px_obs):
+    """Per-point residual [N, 2], Jacobian [N, 2, 6], depth [N]."""
+    Xc = pose_cw.apply(points_w)
+    z = Xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    inv_z = 1.0 / z_safe
+    u = cam.fx * Xc[..., 0] * inv_z + cam.cx
+    v = cam.fy * Xc[..., 1] * inv_z + cam.cy
+    r = jnp.stack([u, v], axis=-1) - px_obs
+
+    # d(u,v)/dXc
+    zero = jnp.zeros_like(z)
+    J_proj = jnp.stack([
+        jnp.stack([cam.fx * inv_z, zero, -cam.fx * Xc[..., 0] * inv_z * inv_z], -1),
+        jnp.stack([zero, cam.fy * inv_z, -cam.fy * Xc[..., 1] * inv_z * inv_z], -1),
+    ], axis=-2)  # [N, 2, 3]
+
+    # dXc/dxi for left update Exp(xi)·T: [I | -hat(Xc)]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+    J_gen = jnp.concatenate([eye, -so3_hat(Xc)], axis=-1)  # [N, 3, 6]
+    J = J_proj @ J_gen  # [N, 2, 6]
+    return r, J, z
+
+
+def _robust_weights(r2, huber_delta):
+    """IRLS Huber weights on squared pixel error; huber_delta<=0 → L2."""
+    if huber_delta <= 0:
+        return jnp.ones_like(r2)
+    rn = jnp.sqrt(r2.clip(1e-12))
+    return jnp.where(rn <= huber_delta, 1.0, huber_delta / rn)
+
+
+def _lm_solve(pose0: SE3, cam: Camera, points_w, px_obs, weights_fixed, *,
+              iters: int, huber_delta: float):
+    """Fixed-length branch-free LM; weights_fixed [N] masks invalid points."""
+
+    def cost_of(pose):
+        r, _, z = _residuals_jacobian(pose, cam, points_w, px_obs)
+        r2 = jnp.sum(r * r, axis=-1)
+        w = _robust_weights(r2, huber_delta) * weights_fixed
+        # Huber cost (for accept/reject): rho(r2)
+        if huber_delta > 0:
+            rn = jnp.sqrt(r2.clip(1e-12))
+            rho = jnp.where(rn <= huber_delta, r2,
+                            2 * huber_delta * rn - huber_delta ** 2)
+        else:
+            rho = r2
+        return jnp.sum(rho * weights_fixed), w
+
+    def step(carry, _):
+        pose, lam, cost = carry
+        r, J, z = _residuals_jacobian(pose, cam, points_w, px_obs)
+        r2 = jnp.sum(r * r, axis=-1)
+        w = _robust_weights(r2, huber_delta) * weights_fixed  # [N]
+        H = jnp.einsum("n,nki,nkj->ij", w, J, J)
+        g = jnp.einsum("n,nki,nk->i", w, J, r)
+        H_lm = H + lam * jnp.diag(jnp.diagonal(H)).clip(1e-8)
+        delta = -jnp.linalg.solve(H_lm + 1e-9 * jnp.eye(6, dtype=H.dtype), g)
+        new_pose = pose.retract(delta)
+        new_cost, _ = cost_of(new_pose)
+        accept = new_cost < cost
+        pose = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), new_pose, pose)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.33, lam * 10.0).clip(1e-8, 1e6)
+        return (pose, lam, cost), None
+
+    cost0, _ = cost_of(pose0)
+    (pose, _, cost), _ = jax.lax.scan(
+        step, (pose0, jnp.asarray(1e-3, points_w.dtype), cost0), None,
+        length=iters)
+    return pose, cost
+
+
+def pnp_refine(pose0: SE3, cam: Camera, points_w, px_obs, valid, *,
+               iters: int = 5, huber_delta: float = CHI2_THRESH_2DOF ** 0.5,
+               chi2_thresh: float = CHI2_THRESH_2DOF,
+               refine_l2: bool = True) -> PnPResult:
+    """Motion-only PnP with the reference's two-phase semantics.
+
+    Phase 1: Huber LM over all valid points (≤``iters`` iterations).
+    Phase 2: prune residuals with chi² > thresh or non-positive depth,
+    then L2 re-solve on the surviving inliers
+    (reference multi_view_geometry.cpp:192-218).
+
+    Args:
+      pose0: initial T_c_w (motion-model or P3P output).
+      points_w: [N, 3]; px_obs: [N, 2] undistorted pixels; valid: [N].
+    """
+    wfix = valid.astype(points_w.dtype)
+    pose1, _ = _lm_solve(pose0, cam, points_w, px_obs, wfix,
+                         iters=iters, huber_delta=huber_delta)
+
+    r, _, z = _residuals_jacobian(pose1, cam, points_w, px_obs)
+    chi2 = jnp.sum(r * r, axis=-1)
+    inl = valid & (chi2 <= chi2_thresh) & (z > 0)
+
+    if refine_l2:
+        w2 = inl.astype(points_w.dtype)
+        pose2, cost = _lm_solve(pose1, cam, points_w, px_obs, w2,
+                                iters=max(1, iters - 2), huber_delta=0.0)
+    else:
+        pose2, cost = pose1, jnp.sum(chi2 * inl)
+
+    r, _, z = _residuals_jacobian(pose2, cam, points_w, px_obs)
+    chi2 = jnp.sum(r * r, axis=-1)
+    inliers = valid & (chi2 <= chi2_thresh) & (z > 0)
+    return PnPResult(pose=pose2.normalize(), inliers=inliers,
+                     num_inliers=jnp.sum(inliers), cost=cost)
