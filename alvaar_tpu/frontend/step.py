@@ -1,0 +1,331 @@
+"""The per-frame SLAM step — one jitted XLA program.
+
+TPU-native equivalent of the reference's VisualFrontend::track +
+System::processCameraPose (reference src/slam/src/visual_frontend.cpp:21-35,
+system.cpp:156-175).  The entire per-frame iteration — preprocessing,
+two-stage KLT, pose estimation, keyframe decision, and (conditionally) the
+full keyframe pipeline including local BA — compiles into a single program
+with ``lax.cond`` branches; no host round-trips mid-frame.
+
+Status codes preserved from the reference (system.cpp:163-174):
+1 = tracking, 2 = reset performed, 3 = initializing.
+
+Divergence (document-and-diverge): P3P-LMedS runs only when requested
+(tracking-ratio < 33% or a previous PnP failure, the reference's
+``p3pReq_`` path) rather than on every frame as the reference's configured
+``p3pEnabled_=true`` does (system.cpp:19) — the motion-prior + PnP path is
+the standard fast path, and the recovery path is reached identically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alvaar_tpu.config import SlamConfig
+from alvaar_tpu.geom.camera import Camera
+from alvaar_tpu.geom.lie import SE3
+from alvaar_tpu.ops.image import build_pyramid, clahe
+from alvaar_tpu.ops.klt import fb_klt_track
+from alvaar_tpu.solvers.absolute import p3p_lmeds
+from alvaar_tpu.solvers.essential import essential_ransac
+from alvaar_tpu.solvers.pnp import pnp_refine
+from alvaar_tpu.worldmap.keyframe import create_keyframe
+from alvaar_tpu.worldmap.state import MapState, init_map_state, reset_map_state
+
+
+class StepOutput(NamedTuple):
+    status: jax.Array       # int32: 1 tracking / 2 reset / 3 initializing
+    pose_wc: jax.Array      # [4, 4] T_wc (camera-to-world, reference getTwc)
+    points: jax.Array       # [K, 2] tracked keypoint pixels
+    points_valid: jax.Array  # [K]
+    num_tracked: jax.Array
+    num_3d: jax.Array
+    is_keyframe: jax.Array
+
+
+def preprocess(gray, cfg: SlamConfig):
+    """Optional CLAHE + pyramid (reference visual_frontend.cpp:672-698)."""
+    img = gray.astype(jnp.float32)
+    if cfg.use_clahe:
+        img = clahe(img, clip=cfg.clahe_clip)
+    return build_pyramid(img, cfg.pyramid_levels)
+
+
+# ---------------------------------------------------------------------------
+# Tracking
+# ---------------------------------------------------------------------------
+
+def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
+                     cfg: SlamConfig):
+    """Two-stage forward-backward KLT (reference
+    visual_frontend.cpp:103-243): 3D keypoints tracked at 1 pyramid level
+    from motion-prior projections; failures and 2D keypoints retried on
+    the full pyramid from their previous positions."""
+    is3d = (state.kp_valid & state.lm_valid[state.kp_lm]
+            & state.lm_is3d[state.kp_lm])
+
+    # motion-prior projections (distorted, like the raw pixel stream)
+    proj = cam.project_dist(pose_prior.apply(state.lm_pos[state.kp_lm]))
+    in_img = cam.in_roi(proj, cfg.width, cfg.height, border=1)
+    prior_ok = is3d & in_img
+
+    klt_args = dict(win=cfg.klt_window, iters=cfg.klt_iters, eps=cfg.klt_eps,
+                    err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist)
+    s1 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, proj, prior_ok,
+                      levels=cfg.klt_prior_levels, **klt_args)
+    stage2_mask = state.kp_valid & (~prior_ok | (prior_ok & ~s1.status))
+    s2 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, state.kp_px,
+                      stage2_mask, levels=cfg.pyramid_levels, **klt_args)
+
+    ok1 = prior_ok & s1.status
+    ok2 = stage2_mask & s2.status
+    kp_px = jnp.where(ok1[:, None], s1.xy, jnp.where(ok2[:, None], s2.xy,
+                                                     state.kp_px))
+    kp_valid = ok1 | ok2
+    kp_und = cam.undistort(kp_px)
+
+    # P3P request when the motion-prior stage underperforms
+    # (reference visual_frontend.cpp:197-203: < 1/3 of priors tracked)
+    n_priors = jnp.sum(prior_ok)
+    n_good1 = jnp.sum(ok1)
+    p3p_req = (n_priors > 0) & (n_good1.astype(jnp.float32)
+                                < 0.33 * n_priors.astype(jnp.float32))
+    return state._replace(kp_px=kp_px, kp_und=kp_und, kp_valid=kp_valid,
+                          p3p_req=state.p3p_req | p3p_req)
+
+
+# ---------------------------------------------------------------------------
+# Pose estimation
+# ---------------------------------------------------------------------------
+
+def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
+    """P3P recovery (conditional) + motion-only PnP
+    (reference visual_frontend.cpp:245-417)."""
+    is3d = (state.kp_valid & state.lm_valid[state.kp_lm]
+            & state.lm_is3d[state.kp_lm])
+    n3d = jnp.sum(is3d)
+    pts_w = state.lm_pos[state.kp_lm]
+    bearings = cam.bearing(state.kp_und)
+
+    do_p3p = state.p3p_req if not cfg.use_p3p else (
+        state.p3p_req | (state.pose_failures > 0))
+
+    def with_p3p(_):
+        r = p3p_lmeds(key, bearings, pts_w, is3d, focal=cam.fx,
+                      iters=cfg.ransac_iters, err_px=cfg.ransac_err_px,
+                      min_inliers=cfg.p3p_min_inliers)
+        pose = jax.tree.map(
+            lambda a, b: jnp.where(r.success, a, b), r.pose, state.pose)
+        mask = jnp.where(r.success, r.inliers, is3d)
+        return pose, mask, r.success
+
+    def without_p3p(_):
+        return state.pose, is3d, jnp.asarray(True)
+
+    pose_init, pnp_mask, p3p_ok = jax.lax.cond(do_p3p, with_p3p,
+                                               without_p3p, None)
+
+    res = pnp_refine(pose_init, cam, pts_w, state.kp_und, pnp_mask,
+                     iters=cfg.pnp_iters)
+    n_in = res.num_inliers
+    n_used = jnp.sum(pnp_mask)
+    success = ((n3d >= 4) & p3p_ok & (n_in >= 5)
+               & (n_in.astype(jnp.float32) >= 0.5 * n_used.astype(jnp.float32))
+               & jnp.all(jnp.isfinite(res.pose.t)))
+
+    pose = jax.tree.map(lambda a, b: jnp.where(success, a, b),
+                        res.pose, state.pose)
+    # drop PnP outlier observations from the frame (reference removes them
+    # via removeObsFromCurrFrameById)
+    kp_valid = jnp.where(success, state.kp_valid & (res.inliers | ~is3d),
+                         state.kp_valid)
+    p3p_req = jnp.where(success, False, True)
+    failures = jnp.where(success, 0, state.pose_failures + 1)
+    return state._replace(
+        pose=pose, kp_valid=kp_valid, p3p_req=p3p_req,
+        pose_failures=failures,
+        reset_requested=state.reset_requested | (failures > cfg.max_pose_failures),
+    ), success
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _parallax_vs_kf(state: MapState, cam: Camera, rotation_compensated: bool,
+                    median: bool):
+    """Parallax of current keypoints vs the latest keyframe's observations
+    (reference computeParallax, visual_frontend.cpp:596-670), using the
+    stable-slot invariant for the correspondence."""
+    slot = state.cur_kf_slot
+    K = state.kp_lm.shape[0]
+    same = (state.kf_obs_lm[slot] == state.kp_lm) & \
+        state.kf_obs_valid[slot] & state.kp_valid
+    kf_px = state.kf_obs_px[slot]
+    cur_px = state.kp_und
+    if rotation_compensated:
+        # rotate current bearings into the keyframe camera and reproject
+        T_kf = jax.tree.map(lambda x: x[slot], state.kf_pose)   # T_cw
+        R_rel = SE3(T_kf.q, jnp.zeros(3, T_kf.t.dtype)).compose(
+            SE3(state.pose.q, jnp.zeros(3, T_kf.t.dtype)).inverse())
+        bv = cam.bearing(cur_px)
+        cur_px = cam.project(R_rel.rotate(bv))
+    d = jnp.linalg.norm(cur_px - kf_px, axis=-1)
+    n = jnp.sum(same)
+    if median:
+        big = jnp.asarray(jnp.inf, d.dtype)
+        srt = jnp.sort(jnp.where(same, d, big))
+        pos = jnp.clip(n // 2, 0, K - 1)
+        val = srt[pos]
+        return jnp.where(n > 0, val, 0.0), n
+    avg = jnp.sum(jnp.where(same, d, 0.0)) / jnp.maximum(n, 1)
+    return jnp.where(n > 0, avg, 0.0), n
+
+
+def _attempt_init(state: MapState, cam: Camera, cfg: SlamConfig, key):
+    """Bootstrap readiness check + 5-pt-equivalent essential bootstrap
+    (reference checkReadyForInit, visual_frontend.cpp:419-551).  Returns
+    (state, became_ready)."""
+    slot = state.cur_kf_slot
+    par, n_common = _parallax_vs_kf(state, cam, rotation_compensated=True,
+                                    median=False)
+    gate = (par >= cfg.init_parallax_px) & (n_common >= 8)
+
+    def try_essential(st: MapState):
+        same = (st.kf_obs_lm[slot] == st.kp_lm) & \
+            st.kf_obs_valid[slot] & st.kp_valid
+        f_kf = cam.bearing(st.kf_obs_px[slot])
+        f_cur = cam.bearing(st.kp_und)
+        r = essential_ransac(key, f_kf, f_cur, same, focal=cam.fx,
+                             iters=cfg.ransac_iters,
+                             err_px=cfg.ransac_err_px,
+                             min_inliers=cfg.init_min_inliers)
+        # r.pose is T_kf_cur = T_wc of the current frame (kf0 at identity)
+        pose_cw = r.pose.inverse()
+        new_pose = jax.tree.map(lambda a, b: jnp.where(r.success, a, b),
+                                pose_cw, st.pose)
+        # drop epipolar outliers from the frame
+        kp_valid = jnp.where(r.success,
+                             st.kp_valid & (r.inliers | ~same), st.kp_valid)
+        return st._replace(pose=new_pose, kp_valid=kp_valid,
+                           ready_for_init=st.ready_for_init | r.success), r.success
+
+    def skip(st: MapState):
+        return st, jnp.asarray(False)
+
+    return jax.lax.cond(gate, try_essential, skip, state)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe policy
+# ---------------------------------------------------------------------------
+
+def _keyframe_required(state: MapState, cam: Camera, cfg: SlamConfig):
+    """(reference checkNewKeyframeRequired, visual_frontend.cpp:554-594)."""
+    slot = state.cur_kf_slot
+    med_rot_par, _ = _parallax_vs_kf(state, cam, rotation_compensated=True,
+                                     median=True)
+    id_diff = state.frame_id - state.last_kf_frame_id
+    n_occupied = jnp.sum(state.kp_valid)
+    n3d = jnp.sum(state.kp_valid & state.lm_is3d[state.kp_lm]
+                  & state.lm_valid[state.kp_lm])
+    kf_n3d = jnp.sum(state.kf_obs_valid[slot]
+                     & state.lm_is3d[state.kf_obs_lm[slot]]
+                     & state.lm_valid[state.kf_obs_lm[slot]])
+
+    max_kps = cfg.max_keypoints
+    c_occ = (id_diff >= 5) & (n_occupied < 0.33 * max_kps)
+    c_low3d = (id_diff >= 2) & (n3d < 20)
+    c_fresh = (id_diff < 2) & (n3d > 0.5 * max_kps)
+
+    cx = med_rot_par >= cfg.init_parallax_px / 2.0
+    c0 = med_rot_par >= cfg.init_parallax_px
+    c1 = n3d < 0.75 * kf_n3d
+    c2 = (n_occupied < 0.5 * max_kps) & (n3d < 0.85 * kf_n3d)
+
+    return c_occ | c_low3d | (~c_fresh & ((c0 | c1 | c2) & cx))
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig
+              ) -> tuple[MapState, StepOutput]:
+    """Process one grayscale frame; returns the new state and outputs.
+
+    Mirrors the reference call stack (SURVEY §3.2): preprocess → motion
+    prior → two-stage KLT → [init | PnP] → keyframe decision → [keyframe
+    pipeline] → status dispatch.
+    """
+    pyr_cur = preprocess(gray, cfg)
+    key, k1, k2 = jax.random.split(state.rng_key, 3)
+    state = state._replace(rng_key=key)
+
+    def first_frame(st: MapState):
+        st = st._replace(pose=SE3.identity(dtype=st.kp_px.dtype))
+        return st, jnp.asarray(True), jnp.asarray(False)
+
+    def init_phase(st: MapState):
+        # pure 2D tracking (no 3D priors exist yet)
+        st = _track_keypoints(st, pyr_cur, st.pose, cam, cfg)
+        n2d = jnp.sum(st.kp_valid)
+        st = st._replace(
+            reset_requested=st.reset_requested | (n2d < cfg.min_init_keypoints))
+        st, became_ready = _attempt_init(st, cam, cfg, k1)
+        return st, became_ready, jnp.asarray(False)
+
+    def tracking_phase(st: MapState):
+        # constant-velocity prior: T_cw_prior = Exp(-vel) ∘ T_cw
+        pose_prior = SE3.exp(-st.vel).compose(st.pose)
+        st = _track_keypoints(st, pyr_cur, pose_prior, cam, cfg)
+        prev_pose = st.pose
+        st = st._replace(pose=pose_prior)
+        st, success = _compute_pose(st, cam, cfg, k1)
+        # motion model update: vel = log(T_wc_prev⁻¹ ∘ T_wc_cur)
+        #                          = log(T_cw_prev ∘ T_wc_cur)
+        new_vel = prev_pose.compose(st.pose.inverse()).log()
+        st = st._replace(vel=jnp.where(success, new_vel, st.vel))
+        kf_req = _keyframe_required(st, cam, cfg)
+        return st, kf_req & success, success
+
+    branch = jnp.where(state.frame_id == 0, 0,
+                       jnp.where(~state.ready_for_init, 1, 2))
+    state, kf_required, _ = jax.lax.switch(
+        branch, [first_frame, init_phase, tracking_phase], state)
+
+    # keyframe pipeline (reference visual_frontend.cpp:27-33)
+    state = jax.lax.cond(
+        kf_required & ~state.reset_requested,
+        lambda s: create_keyframe(s, pyr_cur[0], cam, cfg),
+        lambda s: s,
+        state)
+
+    # status + reset dispatch (reference system.cpp:156-175)
+    status = jnp.where(state.reset_requested, 2,
+                       jnp.where(state.ready_for_init, 1, 3)).astype(jnp.int32)
+    out = StepOutput(
+        status=status,
+        pose_wc=state.pose.inverse().matrix(),
+        points=state.kp_und,
+        points_valid=state.kp_valid,
+        num_tracked=jnp.sum(state.kp_valid),
+        num_3d=jnp.sum(state.kp_valid & state.lm_is3d[state.kp_lm]
+                       & state.lm_valid[state.kp_lm]),
+        is_keyframe=kf_required & ~state.reset_requested,
+    )
+
+    state = jax.lax.cond(
+        state.reset_requested,
+        lambda s: reset_map_state(s, cfg),
+        lambda s: s,
+        state)
+    state = state._replace(prev_pyr=pyr_cur,
+                           frame_id=jnp.where(status == 2, 0,
+                                              state.frame_id + 1))
+    return state, out

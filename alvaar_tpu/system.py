@@ -1,5 +1,152 @@
-"""System facade placeholder (full AlvaAR API lands after the frontend)."""
+"""AlvaAR-compatible system facade over the TPU pipeline.
 
-class AlvaAR:  # pragma: no cover - placeholder
-    def __init__(self, *a, **k):
-        raise NotImplementedError("System facade under construction")
+Mirrors the reference's public API surface (reference src/system.js:47-236
+and src/slam/src/system.{hpp,cpp}): ``Initialize``-style construction from
+(width, height, fov), ``findCameraPose``, ``findCameraPoseWithIMU``,
+``findPlane``, ``getFramePoints``, ``reset`` — with the same status
+semantics (1 = tracking → pose returned; 2 = reset → None; 3 =
+initializing → None) and the same default intrinsics guess (fx = fy from
+the min-axis FoV rule, zero distortion — system.js:84-141).
+
+The host↔device contract (the reference's JS↔WASM shared-heap ABI,
+system.js:63-67) maps to: one frame upload per call, the entire MapState
+resident on device across calls, and small pose/point readbacks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alvaar_tpu.config import SlamConfig
+from alvaar_tpu.frontend.step import slam_step
+from alvaar_tpu.geom.camera import Camera
+from alvaar_tpu.geom.lie import SE3, quat_conj, quat_mul, quat_to_matrix
+from alvaar_tpu.ops.image import rgba_to_gray
+from alvaar_tpu.solvers.plane import find_plane_ransac
+from alvaar_tpu.worldmap.state import init_map_state
+
+
+def pose_to_array(T_wc: np.ndarray) -> np.ndarray:
+    """4x4 → 16-float column-major array, the reference's wire format
+    (reference utils.cpp:3-27 toPoseArray)."""
+    return np.asarray(T_wc, np.float32).T.reshape(-1).copy()
+
+
+class AlvaAR:
+    """Monocular visual SLAM with the AlvaAR API, TPU-native inside."""
+
+    def __init__(self, width: int, height: int, fov: float = 45.0,
+                 config: Optional[SlamConfig] = None,
+                 camera: Optional[Camera] = None):
+        self.config = (config or SlamConfig())
+        if self.config.width != width or self.config.height != height:
+            self.config = SlamConfig(
+                **{**{f.name: getattr(self.config, f.name)
+                      for f in self.config.__dataclass_fields__.values()},
+                   "width": width, "height": height})
+        self.camera = camera if camera is not None else Camera.from_fov(
+            width, height, fov)
+        self.state = init_map_state(self.config)
+        self._last_out = None
+        # IMU-fusion accumulators (reference system.cpp:87-101)
+        self._imu_translation = np.zeros(3, np.float64)
+        self._imu_prev_slam_t: Optional[np.ndarray] = None
+
+        self._find_plane = jax.jit(
+            lambda key, pts, valid, cam_c: find_plane_ransac(
+                key, pts, valid, cam_c,
+                iters=self.config.plane_iters,
+                min_points=self.config.plane_min_points,
+                max_tilt_deg=self.config.plane_max_tilt_deg,
+                inlier_scale=self.config.plane_inlier_scale))
+
+    # ------------------------------------------------------------------
+    def _to_gray(self, frame) -> jax.Array:
+        frame = jnp.asarray(frame)
+        if frame.ndim == 3:
+            return rgba_to_gray(frame)
+        return frame.astype(jnp.float32)
+
+    def find_camera_pose(self, frame) -> Optional[np.ndarray]:
+        """Run one SLAM iteration.  Returns the 4x4 camera-to-world pose
+        (T_wc) when tracking (status 1), else None (status 2/3 — reference
+        system.js:179-199 returns the pose only on status 1)."""
+        gray = self._to_gray(frame)
+        self.state, out = slam_step(self.state, gray, self.camera, self.config)
+        self._last_out = out
+        self.last_status = int(out.status)
+        if self.last_status == 1:
+            return np.asarray(out.pose_wc)
+        return None
+
+    def find_camera_pose_with_imu(self, frame, orientation,
+                                  motion=None) -> np.ndarray:
+        """IMU-attitude + visual-odometry-translation fusion (reference
+        system.cpp:57-104): the returned rotation comes from the device
+        orientation quaternion ((w, x, y, z), mirrored like the reference's
+        −x convention), the translation from accumulated SLAM deltas.
+        Motion (gyro/accel) samples are accepted for API parity; the
+        reference parses and discards them (system.cpp:75-81) — full VIO is
+        future work there and here.  Always returns a pose (status 1),
+        like the reference (system.cpp:103)."""
+        gray = self._to_gray(frame)
+        self.state, out = slam_step(self.state, gray, self.camera, self.config)
+        self._last_out = out
+        self.last_status = 1
+
+        qw, qx, qy, qz = [float(v) for v in orientation]
+        q = jnp.asarray([qw, -qx, qy, qz], jnp.float32)  # mirror x (ref :67)
+        R = np.asarray(quat_to_matrix(quat_conj(q)))     # inverse (ref :70)
+
+        slam_t = np.asarray(out.pose_wc)[:3, 3]
+        if int(out.status) == 1:
+            if self._imu_prev_slam_t is not None:
+                self._imu_translation += slam_t - self._imu_prev_slam_t
+            self._imu_prev_slam_t = slam_t.copy()
+        else:
+            self._imu_prev_slam_t = None
+
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = self._imu_translation.astype(np.float32)
+        return T
+
+    def find_plane(self, num_iterations: int = 250) -> Optional[np.ndarray]:
+        """Dominant horizontal plane among currently observed 3D map
+        points (reference system.cpp:123-137,177-342).  Returns a 4x4
+        plane-to-world pose or None."""
+        st = self.state
+        bound3d = (st.kp_valid & st.lm_valid[st.kp_lm]
+                   & st.lm_is3d[st.kp_lm])
+        # one entry per bound landmark (kp binding is unique per landmark)
+        pts = st.lm_pos[st.kp_lm]
+        cam_c = SE3(st.pose.q, st.pose.t).inverse().t
+        key, sub = jax.random.split(st.rng_key)
+        self.state = st._replace(rng_key=key)
+        res = self._find_plane(sub, pts, bound3d, cam_c)
+        if not bool(res.success):
+            return None
+        pose = SE3(res.pose.q, res.pose.t)
+        return np.asarray(pose.matrix())
+
+    def get_frame_points(self) -> np.ndarray:
+        """[N, 2] int32 tracked keypoint pixels of the last processed frame
+        (reference system.cpp:139-154 / system.js:214-231 — without the
+        reference's buffer over-run quirk, SURVEY §7)."""
+        if self._last_out is None:
+            return np.zeros((0, 2), np.int32)
+        pts = np.asarray(self._last_out.points)
+        valid = np.asarray(self._last_out.points_valid)
+        return pts[valid].astype(np.int32)
+
+    def reset(self) -> None:
+        """Full reset (reference system.cpp:42-55)."""
+        self.state = init_map_state(self.config)._replace(
+            rng_key=self.state.rng_key)
+        self._last_out = None
+        self._imu_translation[:] = 0
+        self._imu_prev_slam_t = None

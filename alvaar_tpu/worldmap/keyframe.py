@@ -1,0 +1,334 @@
+"""Keyframe pipeline: creation, eviction, triangulation, BA, culling.
+
+TPU-native equivalent of the reference's MapManager::createKeyframe +
+Mapper::processNewKeyframe (reference src/slam/src/map_manager.cpp:24-252,
+mapper.cpp:9-143): every step is a masked array transformation of the
+fixed-shape MapState — nothing allocates, nothing branches per element.
+
+Key structural invariant (replaces the reference's id-keyed hash maps):
+a landmark keeps the SAME keypoint slot k from detection until track loss,
+and keyframe observations are written from the current keypoint table, so
+a landmark's pixel in keyframe w lives at ``kf_obs_px[w, k]`` — verified by
+``kf_obs_lm[w, k] == lm`` (slots can be recycled after loss).  This turns
+the reference's per-landmark hash lookups (frame.cpp getKeypointById) into
+O(1) gathers.
+
+Divergences (document-and-diverge):
+  * inverse-depth anchors are re-derived every keyframe as "oldest live
+    observer" from the world position (the reference keeps the first
+    observer and re-anchors on removal, map_manager.cpp:515-675) — same
+    geometry, self-healing under ring eviction;
+  * descriptor bags with most-representative selection
+    (map_point.cpp:131-181) are replaced by latest-descriptor-wins;
+  * matchingToLocalMap (mapper.cpp:293-588) lands separately.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alvaar_tpu.config import SlamConfig
+from alvaar_tpu.geom.camera import Camera
+from alvaar_tpu.geom.lie import SE3
+from alvaar_tpu.geom.triangulation import triangulate_midpoint
+from alvaar_tpu.ops.detect import detect_grid
+from alvaar_tpu.ops.orb import describe
+from alvaar_tpu.solvers.ba import BAProblem, local_ba
+from alvaar_tpu.worldmap.state import (
+    MapState,
+    allocate_slots,
+    covisibility,
+    landmark_world_positions,
+    masked_scatter_set,
+)
+
+
+def _oldest_observer(state: MapState, exclude_slot=None):
+    """Per landmark: ring slot of the oldest live observing keyframe.
+
+    Returns (slot [L] int32, has_observer [L] bool)."""
+    obs = state.lm_obs & state.kf_valid[None, :]
+    if exclude_slot is not None:
+        obs = obs & (jnp.arange(state.kf_valid.shape[0]) != exclude_slot)[None, :]
+    ids = jnp.where(obs, state.kf_id[None, :], jnp.iinfo(jnp.int32).max)
+    slot = jnp.argmin(ids, axis=1).astype(jnp.int32)
+    has = jnp.any(obs, axis=1)
+    return slot, has
+
+
+def _lm_bound_in_frame(state: MapState):
+    """[L] bool — landmark currently bound to a live keypoint slot."""
+    L = state.lm_valid.shape[0]
+    bound = jnp.zeros((L,), bool)
+    return bound.at[state.kp_lm].max(state.kp_valid)
+
+
+def evict_and_write_keyframe(state: MapState, cfg: SlamConfig) -> MapState:
+    """Overwrite the ring slot for the new keyframe and bind the current
+    frame's keypoints as its observations (reference mapper.cpp:14-18
+    eviction + map_manager.cpp:24-81 prepareFrame observation wiring)."""
+    W = cfg.window_size
+    slot = state.next_kf_id % W
+
+    # clear the evicted slot's observations
+    lm_obs = state.lm_obs.at[:, slot].set(False)
+
+    # kill landmarks left with zero observers and no live track
+    # (reference MapPoint::isBad, map_point.cpp:183-202)
+    bound = _lm_bound_in_frame(state)
+    n_obs = jnp.sum(lm_obs & state.kf_valid[None, :], axis=1)
+    lm_valid = state.lm_valid & ((n_obs > 0) | bound)
+
+    # write the new keyframe
+    kf_pose = jax.tree.map(
+        lambda ring, cur: ring.at[slot].set(cur), state.kf_pose, state.pose)
+    kf_valid = state.kf_valid.at[slot].set(True)
+    kf_id = state.kf_id.at[slot].set(state.next_kf_id)
+
+    obs_ok = state.kp_valid & lm_valid[state.kp_lm]
+    kf_obs_lm = state.kf_obs_lm.at[slot].set(state.kp_lm)
+    kf_obs_px = state.kf_obs_px.at[slot].set(state.kp_und)
+    kf_obs_valid = state.kf_obs_valid.at[slot].set(obs_ok)
+    lm_obs = lm_obs.at[state.kp_lm, slot].max(obs_ok)
+
+    return state._replace(
+        lm_obs=lm_obs, lm_valid=lm_valid, kf_pose=kf_pose, kf_valid=kf_valid,
+        kf_id=kf_id, kf_obs_lm=kf_obs_lm, kf_obs_px=kf_obs_px,
+        kf_obs_valid=kf_obs_valid, cur_kf_slot=slot,
+        last_kf_frame_id=state.frame_id,
+        next_kf_id=state.next_kf_id + 1,
+    )
+
+
+def reanchor_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
+    """Re-derive every 3D landmark's inverse-depth anchor as its oldest
+    live observer, from the stored world position — keeps the
+    parametrization valid under ring eviction."""
+    slot, has = _oldest_observer(state)
+    T_a = jax.tree.map(lambda x: x[slot], state.kf_pose)  # T_cw
+    X_a = T_a.apply(state.lm_pos)
+    z = X_a[:, 2]
+    z_ok = z > 1e-3
+    z_safe = jnp.where(z_ok, z, 1.0)
+    upd = state.lm_is3d & state.lm_valid & has & z_ok
+    lm_anchor = jnp.where(upd, slot, state.lm_anchor)
+    lm_mxy = jnp.where(upd[:, None], X_a[:, :2] / z_safe[:, None], state.lm_mxy)
+    lm_invd = jnp.where(upd, 1.0 / z_safe, state.lm_invd)
+    return state._replace(lm_anchor=lm_anchor, lm_mxy=lm_mxy, lm_invd=lm_invd)
+
+
+def describe_and_detect(state: MapState, gray, cam: Camera,
+                        cfg: SlamConfig) -> MapState:
+    """ORB-describe the tracked keypoints, then fill empty grid cells with
+    new detections → new 2D landmarks (reference map_manager.cpp:193-222
+    extractKeypoints: describe tracked, detect in free cells, add)."""
+    slot = state.cur_kf_slot
+
+    # describe tracked keypoints; latest descriptor wins
+    desc, _ = describe(gray, state.kp_px, state.kp_valid)
+    ok_tracked = state.kp_valid & state.lm_valid[state.kp_lm]
+    lm_desc_all = masked_scatter_set(state.lm_desc, state.kp_lm, desc,
+                                     ok_tracked)
+
+    # detect new corners in unoccupied cells
+    det = detect_grid(gray, state.kp_px, state.kp_valid,
+                      cell=cfg.cell_size, border=cfg.image_border,
+                      quality=cfg.detector_quality)
+    new_desc, _ = describe(gray, det.xy, det.valid)
+
+    # allocate keypoint slots and landmark slots for each accepted detection
+    kp_slot, kp_ok = allocate_slots(state.kp_valid, det.valid)
+    lm_slot, lm_ok = allocate_slots(state.lm_valid, det.valid & kp_ok)
+    ok = det.valid & kp_ok & lm_ok
+
+    und = cam.undistort(det.xy)
+
+    kp_px = masked_scatter_set(state.kp_px, kp_slot, det.xy, ok)
+    kp_und = masked_scatter_set(state.kp_und, kp_slot, und, ok)
+    kp_lm = masked_scatter_set(state.kp_lm, kp_slot, lm_slot, ok)
+    kp_valid = masked_scatter_set(state.kp_valid, kp_slot,
+                                  jnp.ones_like(ok), ok)
+
+    lm_valid = masked_scatter_set(state.lm_valid, lm_slot,
+                                  jnp.ones_like(ok), ok)
+    lm_is3d = masked_scatter_set(state.lm_is3d, lm_slot,
+                                 jnp.zeros_like(ok), ok)
+    lm_desc2 = masked_scatter_set(lm_desc_all, lm_slot, new_desc, ok)
+    # fresh landmark rows: recycled slots may hold stale incidence — reset
+    fresh_rows = jnp.zeros((ok.shape[0],) + state.lm_obs.shape[1:],
+                           bool).at[:, slot].set(True)
+    lm_obs = masked_scatter_set(state.lm_obs, lm_slot, fresh_rows, ok)
+
+    # the new keyframe observes the new detections
+    kf_obs_lm = state.kf_obs_lm.at[slot].set(masked_scatter_set(
+        state.kf_obs_lm[slot], kp_slot, lm_slot, ok))
+    kf_obs_px = state.kf_obs_px.at[slot].set(masked_scatter_set(
+        state.kf_obs_px[slot], kp_slot, und, ok))
+    kf_obs_valid = state.kf_obs_valid.at[slot].set(masked_scatter_set(
+        state.kf_obs_valid[slot], kp_slot, jnp.ones_like(ok), ok))
+
+    return state._replace(
+        kp_px=kp_px, kp_und=kp_und, kp_lm=kp_lm, kp_valid=kp_valid,
+        lm_valid=lm_valid, lm_is3d=lm_is3d, lm_desc=lm_desc2, lm_obs=lm_obs,
+        kf_obs_lm=kf_obs_lm, kf_obs_px=kf_obs_px, kf_obs_valid=kf_obs_valid)
+
+
+def triangulate_temporal(state: MapState, cam: Camera,
+                         cfg: SlamConfig) -> MapState:
+    """Temporal triangulation of the new keyframe's 2D landmarks against
+    their oldest observing keyframe (reference mapper.cpp:144-291):
+    midpoint triangulation, positive-depth gate (z > 0.1 both views),
+    reprojection gate (≤ mapMaxReprojectionError in both views); failures
+    with >20 px parallax lose the new observation."""
+    slot = state.cur_kf_slot
+    K = state.kp_lm.shape[0]
+    lm = state.kf_obs_lm[slot]                  # [K]
+    obs_ok = state.kf_obs_valid[slot]
+
+    first_w, has_other = _oldest_observer(state, exclude_slot=slot)
+    w_i = first_w[lm]                           # [K] oldest observer slot
+    # the stable-slot invariant: landmark lm sits at the same slot k there
+    same = (state.kf_obs_lm[w_i, jnp.arange(K)] == lm) & \
+        state.kf_obs_valid[w_i, jnp.arange(K)]
+    cand = (obs_ok & ~state.lm_is3d[lm] & state.lm_valid[lm]
+            & has_other[lm] & same & (w_i != slot))
+
+    T_i = jax.tree.map(lambda x: x[w_i], state.kf_pose)   # T_cw oldest
+    T_j = state.pose                                      # T_cw new (== kf slot pose)
+    # relative pose of new cam (j) in old cam (i): T_ci_cj = T_cw_i ∘ T_wc_j
+    T_ij = T_i.compose(T_j.inverse())
+
+    px_i = state.kf_obs_px[w_i, jnp.arange(K)]
+    px_j = state.kf_obs_px[slot]
+    f_i = cam.bearing(px_i)
+    f_j = cam.bearing(px_j)
+
+    X_i = triangulate_midpoint(T_ij, f_i, f_j)            # in cam i
+    X_j = T_ij.inverse().apply(X_i)
+    z_i, z_j = X_i[..., 2], X_j[..., 2]
+
+    proj_i = cam.project(X_i)
+    proj_j = cam.project(X_j)
+    e_i = jnp.linalg.norm(proj_i - px_i, axis=-1)
+    e_j = jnp.linalg.norm(proj_j - px_j, axis=-1)
+
+    depth_ok = (z_i > 0.1) & (z_j > 0.1)
+    reproj_ok = (e_i <= cfg.triang_max_reproj_px) & (e_j <= cfg.triang_max_reproj_px)
+    good = cand & depth_ok & reproj_ok
+
+    # rotation-compensated parallax for the rejection rule
+    rot_f_j = T_ij.rotate(f_j)
+    rot_px = cam.project(rot_f_j)
+    parallax = jnp.linalg.norm(rot_px - px_i, axis=-1)
+    drop = cand & ~good & (parallax > 20.0)
+
+    # update landmarks that triangulated (masked scatter: stale lm ids in
+    # invalid rows must not collide with live writes)
+    X_w = T_i.inverse().apply(X_i)
+    z_safe = jnp.where(z_i > 1e-3, z_i, 1.0)
+    lm_pos = masked_scatter_set(state.lm_pos, lm, X_w, good)
+    lm_is3d = state.lm_is3d.at[lm].max(good)
+    lm_anchor = masked_scatter_set(state.lm_anchor, lm, w_i, good)
+    lm_mxy = masked_scatter_set(state.lm_mxy, lm,
+                                X_i[..., :2] / z_safe[..., None], good)
+    lm_invd = masked_scatter_set(state.lm_invd, lm, 1.0 / z_safe, good)
+
+    # drop bad high-parallax observations from the new keyframe
+    kf_obs_valid = state.kf_obs_valid.at[slot].set(
+        state.kf_obs_valid[slot] & ~drop)
+    lm_obs = state.lm_obs.at[lm, slot].min(~drop)
+
+    return state._replace(
+        lm_pos=lm_pos, lm_is3d=lm_is3d, lm_anchor=lm_anchor, lm_mxy=lm_mxy,
+        lm_invd=lm_invd, kf_obs_valid=kf_obs_valid, lm_obs=lm_obs)
+
+
+def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
+    """Local BA over the window + write-back + outlier pruning + culling
+    (reference mapper.cpp:63-71 optimize → optimizer.cpp localBA)."""
+    slot = state.cur_kf_slot
+    covis = covisibility(state)
+
+    # gauge/constant policy (reference optimizer.cpp:94-107,235-247):
+    # low-covisibility keyframes are constant; the two oldest live ones
+    # are always constant.
+    score = covis[:, slot]
+    constant = (score < cfg.ba_min_covisibility) & state.kf_valid
+    ids = jnp.where(state.kf_valid, state.kf_id, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(ids)
+    constant = constant.at[order[0]].set(True).at[order[1]].set(True)
+    constant = constant | ~state.kf_valid
+
+    obs_lm = state.kf_obs_lm
+    ba_obs = (state.kf_obs_valid
+              & state.lm_valid[obs_lm] & state.lm_is3d[obs_lm])
+
+    prob = BAProblem(
+        poses=state.kf_pose, kf_valid=state.kf_valid, constant=constant,
+        anchor_kf=state.lm_anchor, anchor_mxy=state.lm_mxy,
+        invdepth=state.lm_invd, lm_valid=state.lm_valid & state.lm_is3d,
+        obs_lm=obs_lm, obs_px=state.kf_obs_px, obs_valid=ba_obs)
+    res = local_ba(prob, cam, iters=cfg.ba_iters, refine_iters=2)
+
+    # write back poses and landmark positions
+    lm_pos = landmark_world_positions(
+        res.poses, state.lm_anchor, state.lm_mxy, res.invdepth)
+    lm_pos = jnp.where((state.lm_valid & state.lm_is3d)[:, None],
+                       lm_pos, state.lm_pos)
+
+    # prune outlier observations (reference optimizer.cpp:361-530)
+    remove = ba_obs & ~res.obs_inlier                     # [W, K]
+    kf_obs_valid = state.kf_obs_valid & ~remove
+    W, K = remove.shape
+    w_idx = jnp.repeat(jnp.arange(W), K)
+    lm_obs = state.lm_obs.at[obs_lm.reshape(-1), w_idx].min(
+        ~remove.reshape(-1))
+
+    # cull landmarks: 3D with <2 observers and no live track
+    bound = _lm_bound_in_frame(state)
+    n_obs = jnp.sum(lm_obs & state.kf_valid[None, :], axis=1)
+    lm_valid = state.lm_valid & ~(state.lm_is3d & (n_obs < 2) & ~bound)
+
+    # the new keyframe's pose moved → current frame pose follows it
+    new_pose = jax.tree.map(lambda x: x[slot], res.poses)
+
+    return state._replace(
+        kf_pose=res.poses, lm_invd=res.invdepth, lm_pos=lm_pos,
+        kf_obs_valid=kf_obs_valid, lm_obs=lm_obs, lm_valid=lm_valid,
+        pose=new_pose)
+
+
+def create_keyframe(state: MapState, gray, cam: Camera,
+                    cfg: SlamConfig) -> MapState:
+    """Full keyframe pipeline (reference visual_frontend.cpp:27-33 →
+    map_manager createKeyframe → mapper processNewKeyframe)."""
+    state = evict_and_write_keyframe(state, cfg)
+    state = describe_and_detect(state, gray, cam, cfg)
+
+    is_later_kf = state.next_kf_id > 1  # next_kf_id already incremented
+    state = jax.lax.cond(
+        is_later_kf,
+        lambda s: triangulate_temporal(s, cam, cfg),
+        lambda s: s,
+        state)
+    state = reanchor_landmarks(state, cfg)
+
+    # bad-bootstrap detection (reference mapper.cpp:27-50)
+    n3d_now = jnp.sum(state.kp_valid & state.lm_is3d[state.kp_lm]
+                      & state.lm_valid[state.kp_lm])
+    kf_idx = state.next_kf_id - 1
+    bad_boot = state.ready_for_init & (
+        ((kf_idx == 1) & (n3d_now < 30))
+        | ((kf_idx < 10) & (kf_idx >= 2) & (n3d_now < 3)))
+
+    run_ba = (kf_idx >= 2) & (n3d_now > 0) & ~bad_boot
+    state = jax.lax.cond(
+        run_ba,
+        lambda s: run_local_ba(s, cam, cfg),
+        lambda s: s,
+        state)
+    return state._replace(
+        reset_requested=state.reset_requested | bad_boot)

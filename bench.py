@@ -1,0 +1,94 @@
+"""Benchmark: monocular SLAM throughput per chip at 640x480.
+
+Measures BASELINE.json config 1 — the video.html per-frame workload
+(reference examples/public/video.html:148-195) — as device-side pipeline
+throughput: frames pre-staged in HBM, the full per-frame SLAM step
+(pyramid → two-stage KLT → PnP → [keyframe: detect/describe/triangulate/
+local BA]) iterated under one ``lax.scan``, so the number excludes host
+round-trips the production serving path doesn't make per frame.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = fps / 500 (the driver target: ≥500 frames/sec/chip).
+Also prints auxiliary lines (ATE, init frame) to stderr for humans.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from render_scene import TwoPlaneScene, ate_rmse, trajectory
+
+    from alvaar_tpu import SlamConfig
+    from alvaar_tpu.frontend.step import slam_step
+    from alvaar_tpu.geom.camera import Camera
+    from alvaar_tpu.worldmap.state import init_map_state
+
+    N = 120
+    cfg = SlamConfig()  # production 640x480, W=30, L=4096
+    cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(42)
+    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height, fov=60.0,
+                          tex_scale=120.0)
+    gt = trajectory(N, step=0.04)
+    log(f"rendering {N} frames at {cfg.width}x{cfg.height}...")
+    frames = np.stack([scene.render(gt[i]) for i in range(N)])
+    frames_dev = jax.device_put(jnp.asarray(frames, jnp.float32))
+
+    state0 = init_map_state(cfg)
+
+    @jax.jit
+    def run_all(state, frames):
+        def body(state, frame):
+            state, out = slam_step(state, frame, cam, cfg)
+            return state, (out.status, out.pose_wc)
+        return jax.lax.scan(body, state, frames)
+
+    log("compiling full pipeline scan...")
+    t0 = time.time()
+    final_state, (statuses, poses) = jax.block_until_ready(
+        run_all(state0, frames_dev))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    final_state, (statuses, poses) = jax.block_until_ready(
+        run_all(state0, frames_dev))
+    wall = time.time() - t0
+    fps = N / wall
+
+    statuses = np.asarray(statuses)
+    poses = np.asarray(poses)
+    idx = np.where(statuses == 1)[0]
+    est_t = poses[idx][:, :3, 3]
+    gt_t = gt[idx][:, :3, 3]
+    ate = ate_rmse(est_t, gt_t) if len(idx) >= 10 else float("nan")
+    track_len = np.linalg.norm(gt_t[-1] - gt_t[0]) if len(idx) else 0.0
+
+    log(f"tracked {len(idx)}/{N} frames, first track at frame "
+        f"{idx[0] if len(idx) else -1}")
+    log(f"ATE (sim3-aligned): {ate * 100:.2f} cm over {track_len:.2f} m")
+    log(f"throughput: {fps:.1f} frames/sec/chip ({wall / N * 1e3:.2f} ms/frame)")
+
+    print(json.dumps({
+        "metric": "slam_fps_per_chip_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
