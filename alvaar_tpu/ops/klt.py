@@ -1,25 +1,40 @@
 """Batched forward-backward pyramidal Lucas-Kanade tracking.
 
 TPU-native equivalent of the reference's FeatureTracker::fbKltTracking
-(reference src/slam/src/feature_tracker.cpp:35-103), which wraps
-cv::calcOpticalFlowPyrLK (hot loop LKTrackerInvoker::operator(),
-reference opencv modules/video/src/lkpyramid.cpp:183): per point, per
-pyramid level, iterate a 2x2 Gauss-Newton on the 9x9 intensity window.
+(reference src/slam/src/feature_tracker.cpp:35-103) wrapping
+cv::calcOpticalFlowPyrLK (hot loop at opencv modules/video/src/
+lkpyramid.cpp:183): per point, per pyramid level, a 2x2 Gauss-Newton
+iteration on a 9x9 intensity window.
 
-The reference tracks points one at a time inside a parallel_for; here ALL
-N points iterate together as [N, 81] tensor ops — gathers + reductions the
-TPU pipeline fuses, with a convergence *freeze mask* instead of early exit
-(fixed iteration count, XLA-friendly).  The spatial-gradient matrix is
-computed once per level from the template window (same inverse-compositional
-shortcut OpenCV uses), so each iteration is one bilinear gather + two
-reductions.
+TPU-first design — the **correlation-volume formulation**.  Naive LK
+bilinearly re-samples the current image inside the iteration loop; on TPU,
+gathers inside a loop are catastrophic (the big operand is re-staged from
+HBM every iteration, ~0.5 ms each).  Instead, note the inverse-compositional
+GN step only needs
 
-Status gates mirror the reference:
-  * min-eigenvalue of the gradient matrix (trackability),
-  * window intensity residual ≤ klt_err_max (feature_tracker.cpp:48-73),
-  * in-border check,
-  * forward-backward round trip ≤ klt_fb_dist, backward pass at level 0 only
-    (feature_tracker.cpp:84-103).
+    b(d) = Σ_w [ J(x + d + w) − T(w) ] · ∇T(w)
+
+and bilinear sampling is *linear* in the integer-shift lattice, so
+
+    Σ_w bilin(J)(x + d + w) · ∇T(w)  ==  bilin_d( C )(d),
+    C[dy, dx] = Σ_w J[x + (dy,dx) + w] · ∇T(w)
+
+— i.e. precompute the correlation volumes C_gx, C_gy over all integer
+shifts ONCE per level (static unfold: 81 shifted multiply-accumulates, no
+gathers), then every GN iteration is a 4-tap bilinear read of a tiny
+[N, 17, 17] volume via one-hot tent weights (an einsum — zero gathers,
+zero dynamic slices).  This is mathematically EXACT, not an approximation.
+
+Per level pass: 2 patch gathers (outside the loop) + 2 correlation volumes
++ 30 iterations of [N,17]·[N,17,17]·[N,17] contractions.  Per-level drift
+is capped at ±SEARCH_R px (the volume radius) — points needing more are
+reported as failures, and the pyramid/motion-prior structure keeps real
+tracks well inside the cap.
+
+Status gates mirror the reference: min-eigenvalue trackability, window
+L1 residual ≤ err_max (evaluated once at the converged displacement),
+in-border check, and the forward-backward round-trip gate at level 0
+(feature_tracker.cpp:84-103).
 """
 
 from __future__ import annotations
@@ -29,8 +44,6 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from alvaar_tpu.ops.image import bilinear_sample
-
 
 class TrackResult(NamedTuple):
     xy: jax.Array       # [N, 2] tracked positions
@@ -38,67 +51,149 @@ class TrackResult(NamedTuple):
     err: jax.Array      # [N] mean |residual| over the window
 
 
-def _window_offsets(win: int):
-    r = win // 2
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    oy, ox = jnp.meshgrid(d, d, indexing="ij")
-    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)  # [win*win, 2]
+SEARCH_R = 8                      # correlation-volume radius (px per level)
+_CR = 2 * SEARCH_R + 1            # volume side (17)
+
+
+def _extract_patches(img, base_xy, size: int, lo: int):
+    """Gather [N, size, size] patches: patch[n, p, q] =
+    img[base_y + p - lo, base_x + q - lo].  One flat gather — fast outside
+    loops.  base_xy int32 [N, 2] must be pre-clipped."""
+    h, w = img.shape
+    d = jnp.arange(size, dtype=jnp.int32) - lo
+    idx = ((base_xy[:, 1, None, None] + d[None, :, None]) * w
+           + base_xy[:, 0, None, None] + d[None, None, :])
+    return img.reshape(-1)[idx.reshape(-1)].reshape(-1, size, size)
+
+
+def _frac_blend(patch, fx, fy, out: int):
+    """Bilinear blend of 4 integer-shifted [out, out] views of ``patch``
+    (static slices): result[p] = patch[p + (fy, fx)] for fractional f."""
+    p00 = patch[:, :out, :out]
+    p01 = patch[:, :out, 1:out + 1]
+    p10 = patch[:, 1:out + 1, :out]
+    p11 = patch[:, 1:out + 1, 1:out + 1]
+    fx = fx[:, None, None]
+    fy = fy[:, None, None]
+    return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
+            + p10 * fy * (1 - fx) + p11 * fy * fx)
+
+
+def _correlate(J, K, win: int):
+    """C[n, dy, dx] = Σ_w J[n, (dy,dx) + w + R'] K[n, w] — static unfold:
+    one shifted multiply-add per window tap, no gathers.
+
+    J: [N, S, S] with S = _CR + win - 1;  K: [N, win, win];
+    returns [N, _CR, _CR]."""
+    N = J.shape[0]
+    C = jnp.zeros((N, _CR, _CR), J.dtype)
+    for wy in range(win):
+        for wx in range(win):
+            C = C + J[:, wy:wy + _CR, wx:wx + _CR] * K[:, wy:wy + 1, wx:wx + 1]
+    return C
+
+
+def _tent_weights(d, size: int):
+    """One-hot bilinear ("tent") weights: w[n, i] = max(0, 1 - |i - d_n|)."""
+    i = jnp.arange(size, dtype=d.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(i[None, :] - d[:, None]))
 
 
 def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
               win: int, iters: int, eps: float, min_eig: float = 1e-4):
-    """One pyramid level of LK for all points.
+    """One pyramid level of correlation-volume LK for all points.
 
-    pts_prev/guess are in THIS level's pixel coordinates.
-    Returns (new_guess [N,2], track_ok [N], err [N]).
-    """
-    offs = _window_offsets(win)  # [W2, 2]
-    tpl_xy = pts_prev[:, None, :] + offs[None, :, :]  # [N, W2, 2]
+    pts_prev/guess in THIS level's pixel coordinates.
+    Returns (new_xy [N,2], track_ok [N], err [N])."""
+    h, w = img_cur.shape
+    r = win // 2                       # 4
+    tpl_size = win + 3                 # 12: win + gradient margin + bilinear
+    j_size = _CR + win - 1             # 25
 
-    # template window + gradients (central differences on the same level)
-    tpl = bilinear_sample(img_prev, tpl_xy)
-    gx = 0.5 * (bilinear_sample(img_prev, tpl_xy + jnp.asarray([1.0, 0.0]))
-                - bilinear_sample(img_prev, tpl_xy - jnp.asarray([1.0, 0.0])))
-    gy = 0.5 * (bilinear_sample(img_prev, tpl_xy + jnp.asarray([0.0, 1.0]))
-                - bilinear_sample(img_prev, tpl_xy - jnp.asarray([0.0, 1.0])))
+    # ---- template window + gradients from the previous image ----
+    base_t = jnp.floor(pts_prev).astype(jnp.int32)
+    base_t = jnp.stack(
+        [jnp.clip(base_t[:, 0], r + 2, w - r - 4),
+         jnp.clip(base_t[:, 1], r + 2, h - r - 4)], axis=1)
+    ft = pts_prev - base_t.astype(pts_prev.dtype)      # in [0,1) when unclipped
+    ft = jnp.clip(ft, 0.0, 1.0)
+    tp = _extract_patches(img_prev, base_t, tpl_size, r + 1)  # [-5..6]
+    # blended 11x11 window centered on the point: covers w ∈ [-5..5]
+    t11 = _frac_blend(tp, ft[:, 0], ft[:, 1], win + 2)
+    T = t11[:, 1:win + 1, 1:win + 1]                   # 9x9
+    gx = 0.5 * (t11[:, 1:win + 1, 2:win + 2] - t11[:, 1:win + 1, 0:win])
+    gy = 0.5 * (t11[:, 2:win + 2, 1:win + 1] - t11[:, 0:win, 1:win + 1])
 
-    gxx = jnp.sum(gx * gx, axis=-1)
-    gxy = jnp.sum(gx * gy, axis=-1)
-    gyy = jnp.sum(gy * gy, axis=-1)
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
-    trace = gxx + gyy
-    eig_min = 0.5 * (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0)))
+    tr = gxx + gyy
+    eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
     trackable = eig_min / (win * win) > min_eig
     det_safe = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
-    # inverse of G (2x2)
     i00 = gyy / det_safe
     i01 = -gxy / det_safe
     i11 = gxx / det_safe
 
+    # constant template terms of b(d)
+    cx0 = jnp.sum(T * gx, axis=(1, 2))
+    cy0 = jnp.sum(T * gy, axis=(1, 2))
+
+    # ---- current-image search patch + correlation volumes ----
+    base_j = jnp.floor(guess + 0.5).astype(jnp.int32)
+    margin = SEARCH_R + r + 1          # 13
+    base_j = jnp.stack(
+        [jnp.clip(base_j[:, 0], margin, w - margin - 1),
+         jnp.clip(base_j[:, 1], margin, h - margin - 1)], axis=1)
+    Jp = _extract_patches(img_cur, base_j, j_size, margin - 1)  # [-12..12]
+    C_gx = _correlate(Jp, gx, win)     # [N, 17, 17]
+    C_gy = _correlate(Jp, gy, win)
+
+    # ---- GN iterations on the volumes (gather-free) ----
+    d0 = guess - base_j.astype(guess.dtype)            # start displacement
+    lim = SEARCH_R - 1.001
+
     def body(carry, _):
-        xy, frozen = carry
-        cur = bilinear_sample(img_cur, xy[:, None, :] + offs[None, :, :])
-        r = cur - tpl  # [N, W2]
-        b0 = jnp.sum(r * gx, axis=-1)
-        b1 = jnp.sum(r * gy, axis=-1)
-        dx = -(i00 * b0 + i01 * b1)
-        dy = -(i01 * b0 + i11 * b1)
-        step = jnp.stack([dx, dy], axis=-1)
+        d, frozen = carry
+        wx = _tent_weights(d[:, 0] + SEARCH_R, _CR)
+        wy = _tent_weights(d[:, 1] + SEARCH_R, _CR)
+        bx = jnp.einsum("ny,nyx,nx->n", wy, C_gx, wx) - cx0
+        by = jnp.einsum("ny,nyx,nx->n", wy, C_gy, wx) - cy0
+        sx = -(i00 * bx + i01 * by)
+        sy = -(i01 * bx + i11 * by)
+        step = jnp.stack([sx, sy], axis=-1)
         step = jnp.where(frozen[:, None], 0.0, step)
-        xy = xy + step
+        d_new = jnp.clip(d + step, -lim, lim)
         frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
-        return (xy, frozen), None
+        return (d_new, frozen), None
 
     frozen0 = ~(valid & trackable)
-    (xy, _), _ = jax.lax.scan(body, (guess, frozen0), None, length=iters)
+    d0c = jnp.clip(d0, -lim, lim)
+    (d, _), _ = jax.lax.scan(body, (d0c, frozen0), None, length=iters)
 
-    cur = bilinear_sample(img_cur, xy[:, None, :] + offs[None, :, :])
-    err = jnp.mean(jnp.abs(cur - tpl), axis=-1)
-    h, w = img_cur.shape
-    r = win // 2 + 1
-    inb = ((xy[:, 0] >= r) & (xy[:, 0] < w - r)
-           & (xy[:, 1] >= r) & (xy[:, 1] < h - r))
-    return xy, valid & trackable & inb, err
+    # ---- final window, L1 error, gates (once, outside the loop) ----
+    # select 9x9 window: W[n,r,c] = Jp[n, 12 + dy + r - 4, 12 + dx + c - 4]
+    # via two banded tent matrices (shift-matmul, once)
+    rows = jnp.arange(win, dtype=d.dtype)
+    py = (d[:, 1:2] + (SEARCH_R + r)) + rows[None] - r  # [N, 9] target rows
+    px = (d[:, 0:1] + (SEARCH_R + r)) + rows[None] - r
+    iy = jnp.arange(j_size, dtype=d.dtype)
+    Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
+    Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
+    Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx)
+    err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
+
+    xy = base_j.astype(d.dtype) + d
+    rb = float(r + 1)
+    inb = ((xy[:, 0] >= rb) & (xy[:, 0] < w - rb)
+           & (xy[:, 1] >= rb) & (xy[:, 1] < h - rb))
+    # a point that ended pinned to the volume edge did not converge there
+    at_edge = jnp.any(jnp.abs(d) >= lim - 1e-3, axis=-1)
+    # ... unless it started there because the prior was already at the edge
+    started_edge = jnp.any(jnp.abs(d0c) >= lim - 1e-3, axis=-1)
+    ok = valid & trackable & inb & (~at_edge | started_edge)
+    return xy, ok, err
 
 
 def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
@@ -111,10 +206,10 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
       pyr_prev / pyr_cur: image pyramids (tuple of [H,W] f32, level 0 first).
       pts: [N, 2] level-0 positions in the previous frame.
       prior: [N, 2] level-0 initial guesses in the current frame
-        (the motion-model projection, reference visual_frontend.cpp:125-152).
+        (motion-model projections, reference visual_frontend.cpp:125-152).
       valid: [N] bool slot mask.
-      levels: number of levels to use (1 = level 0 only — the reference's
-        motion-prior pass uses 1, the retry pass uses all 3).
+      levels: number of levels (1 = level 0 only — the reference's
+        motion-prior pass; the retry pass uses all 3).
     """
     scale = 2.0 ** (levels - 1)
     guess = prior / scale
@@ -148,3 +243,11 @@ def fb_klt_track(pyr_prev, pyr_cur, pts, prior, valid, *, levels: int,
     rt = jnp.linalg.norm(bwd.xy - pts, axis=-1)
     status = fwd.status & bwd.status & (rt <= fb_dist)
     return TrackResult(xy=fwd.xy, status=status, err=fwd.err)
+
+
+def _window_offsets(win: int):
+    """9x9 window offsets [win*win, 2] — kept for tests/tools."""
+    r = win // 2
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
