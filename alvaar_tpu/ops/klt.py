@@ -154,23 +154,26 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     d0 = guess - base_j.astype(guess.dtype)            # start displacement
     lim = SEARCH_R - 1.001
 
-    def body(carry, _):
-        d, frozen = carry
+    # stacked volumes: one contraction per iteration serves both axes
+    C2 = jnp.stack([C_gx, C_gy], axis=1)               # [N, 2, 17, 17]
+    c0 = jnp.stack([cx0, cy0], axis=-1)                # [N, 2]
+
+    frozen = ~(valid & trackable)
+    d = jnp.clip(d0, -lim, lim)
+    # unrolled GN: pure VPU work per iteration; unrolling lets XLA fuse
+    # across iterations (loop-carried scan adds per-iteration overhead)
+    for _ in range(iters):
         wx = _tent_weights(d[:, 0] + SEARCH_R, _CR)
         wy = _tent_weights(d[:, 1] + SEARCH_R, _CR)
-        bx = jnp.einsum("ny,nyx,nx->n", wy, C_gx, wx) - cx0
-        by = jnp.einsum("ny,nyx,nx->n", wy, C_gy, wx) - cy0
-        sx = -(i00 * bx + i01 * by)
-        sy = -(i01 * bx + i11 * by)
+        b = jnp.einsum("ny,nkyx,nx->nk", wy, C2, wx,
+                       precision=jax.lax.Precision.HIGHEST) - c0
+        sx = -(i00 * b[:, 0] + i01 * b[:, 1])
+        sy = -(i01 * b[:, 0] + i11 * b[:, 1])
         step = jnp.stack([sx, sy], axis=-1)
         step = jnp.where(frozen[:, None], 0.0, step)
-        d_new = jnp.clip(d + step, -lim, lim)
+        d = jnp.clip(d + step, -lim, lim)
         frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
-        return (d_new, frozen), None
-
-    frozen0 = ~(valid & trackable)
     d0c = jnp.clip(d0, -lim, lim)
-    (d, _), _ = jax.lax.scan(body, (d0c, frozen0), None, length=iters)
 
     # ---- final window, L1 error, gates (once, outside the loop) ----
     # select 9x9 window: W[n,r,c] = Jp[n, 12 + dy + r - 4, 12 + dx + c - 4]
@@ -181,7 +184,8 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     iy = jnp.arange(j_size, dtype=d.dtype)
     Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
     Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
-    Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx)
+    Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx,
+                     precision=jax.lax.Precision.HIGHEST)
     err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
 
     xy = base_j.astype(d.dtype) + d
