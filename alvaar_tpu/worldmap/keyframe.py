@@ -37,6 +37,7 @@ from alvaar_tpu.geom.triangulation import triangulate_midpoint
 from alvaar_tpu.ops.detect import detect_grid
 from alvaar_tpu.ops.orb import describe
 from alvaar_tpu.solvers.ba import BAProblem, local_ba
+from alvaar_tpu.worldmap.matching import match_to_local_map
 from alvaar_tpu.worldmap.state import (
     MapState,
     allocate_slots,
@@ -312,6 +313,12 @@ def create_keyframe(state: MapState, gray, cam: Camera,
     state = jax.lax.cond(
         is_later_kf,
         lambda s: triangulate_temporal(s, cam, cfg),
+        lambda s: s,
+        state)
+    # local-map matching + merge (reference mapper.cpp:59,293-588)
+    state = jax.lax.cond(
+        is_later_kf,
+        lambda s: match_to_local_map(s, cam, cfg),
         lambda s: s,
         state)
     state = reanchor_landmarks(state, cfg)
