@@ -30,22 +30,14 @@ def rgba_to_gray(frame):
 
 
 def _sep_conv(img, kernel_1d):
-    """Separable 2D convolution with reflect padding, [H, W] f32."""
-    k = jnp.asarray(kernel_1d, jnp.float32)
-    r = len(kernel_1d) // 2
-    # rows
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    # cols
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    """Separable 2D convolution with edge padding, [H, W] f32 (shift-adds)."""
+    k = [float(v) for v in kernel_1d]
+    r = len(k) // 2
+    h, w = img.shape
+    xp = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = sum(kk * xp[i:i + h, :] for i, kk in enumerate(k))
+    xp = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    return sum(kk * xp[:, i:i + w] for i, kk in enumerate(k))
 
 
 def gaussian_blur3(img):
