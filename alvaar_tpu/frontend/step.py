@@ -75,8 +75,10 @@ def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
 
     klt_args = dict(win=cfg.klt_window, iters=cfg.klt_iters, eps=cfg.klt_eps,
                     err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist)
+    # motion-prior stage: the prior is accurate to a few px, so a small
+    # search volume suffices (stage 2 re-tries failures at full radius)
     s1 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, proj, prior_ok,
-                      levels=cfg.klt_prior_levels, **klt_args)
+                      levels=cfg.klt_prior_levels, search_r=4, **klt_args)
     stage2_mask = state.kp_valid & (~prior_ok | (prior_ok & ~s1.status))
     s2 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, state.kp_px,
                       stage2_mask, levels=cfg.pyramid_levels, **klt_args)

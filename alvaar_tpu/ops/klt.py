@@ -51,8 +51,11 @@ class TrackResult(NamedTuple):
     err: jax.Array      # [N] mean |residual| over the window
 
 
-SEARCH_R = 8                      # correlation-volume radius (px per level)
-_CR = 2 * SEARCH_R + 1            # volume side (17)
+SEARCH_R = 8        # default correlation-volume radius (px per level)
+BACKWARD_R = 2      # radius for the backward verification pass: a good
+                    # round trip lands within fb_dist (0.5 px) of the
+                    # start, and a bad one pins to the volume edge and is
+                    # rejected — so a tiny volume is sufficient AND cheap
 
 
 def _extract_patches(img, base_xy, size: int, lo: int):
@@ -79,17 +82,17 @@ def _frac_blend(patch, fx, fy, out: int):
             + p10 * fy * (1 - fx) + p11 * fy * fx)
 
 
-def _correlate(J, K, win: int):
+def _correlate(J, K, win: int, cr: int):
     """C[n, dy, dx] = Σ_w J[n, (dy,dx) + w + R'] K[n, w] — static unfold:
     one shifted multiply-add per window tap, no gathers.
 
-    J: [N, S, S] with S = _CR + win - 1;  K: [N, win, win];
-    returns [N, _CR, _CR]."""
+    J: [N, S, S] with S = cr + win - 1;  K: [N, win, win];
+    returns [N, cr, cr]."""
     N = J.shape[0]
-    C = jnp.zeros((N, _CR, _CR), J.dtype)
+    C = jnp.zeros((N, cr, cr), J.dtype)
     for wy in range(win):
         for wx in range(win):
-            C = C + J[:, wy:wy + _CR, wx:wx + _CR] * K[:, wy:wy + 1, wx:wx + 1]
+            C = C + J[:, wy:wy + cr, wx:wx + cr] * K[:, wy:wy + 1, wx:wx + 1]
     return C
 
 
@@ -100,15 +103,18 @@ def _tent_weights(d, size: int):
 
 
 def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
-              win: int, iters: int, eps: float, min_eig: float = 1e-4):
+              win: int, iters: int, eps: float, search_r: int = SEARCH_R,
+              min_eig: float = 1e-4):
     """One pyramid level of correlation-volume LK for all points.
 
     pts_prev/guess in THIS level's pixel coordinates.
     Returns (new_xy [N,2], track_ok [N], err [N])."""
     h, w = img_cur.shape
+    R = search_r
+    cr = 2 * R + 1                     # volume side
     r = win // 2                       # 4
     tpl_size = win + 3                 # 12: win + gradient margin + bilinear
-    j_size = _CR + win - 1             # 25
+    j_size = cr + win - 1
 
     # ---- template window + gradients from the previous image ----
     base_t = jnp.floor(pts_prev).astype(jnp.int32)
@@ -142,17 +148,17 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
 
     # ---- current-image search patch + correlation volumes ----
     base_j = jnp.floor(guess + 0.5).astype(jnp.int32)
-    margin = SEARCH_R + r + 1          # 13
+    margin = R + r + 1
     base_j = jnp.stack(
         [jnp.clip(base_j[:, 0], margin, w - margin - 1),
          jnp.clip(base_j[:, 1], margin, h - margin - 1)], axis=1)
-    Jp = _extract_patches(img_cur, base_j, j_size, margin - 1)  # [-12..12]
-    C_gx = _correlate(Jp, gx, win)     # [N, 17, 17]
-    C_gy = _correlate(Jp, gy, win)
+    Jp = _extract_patches(img_cur, base_j, j_size, margin - 1)
+    C_gx = _correlate(Jp, gx, win, cr)
+    C_gy = _correlate(Jp, gy, win, cr)
 
     # ---- GN iterations on the volumes (gather-free) ----
     d0 = guess - base_j.astype(guess.dtype)            # start displacement
-    lim = SEARCH_R - 1.001
+    lim = R - 1.001
 
     # stacked volumes: one contraction per iteration serves both axes
     C2 = jnp.stack([C_gx, C_gy], axis=1)               # [N, 2, 17, 17]
@@ -163,8 +169,8 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     # unrolled GN: pure VPU work per iteration; unrolling lets XLA fuse
     # across iterations (loop-carried scan adds per-iteration overhead)
     for _ in range(iters):
-        wx = _tent_weights(d[:, 0] + SEARCH_R, _CR)
-        wy = _tent_weights(d[:, 1] + SEARCH_R, _CR)
+        wx = _tent_weights(d[:, 0] + R, cr)
+        wy = _tent_weights(d[:, 1] + R, cr)
         b = jnp.einsum("ny,nkyx,nx->nk", wy, C2, wx,
                        precision=jax.lax.Precision.HIGHEST) - c0
         sx = -(i00 * b[:, 0] + i01 * b[:, 1])
@@ -179,8 +185,8 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     # select 9x9 window: W[n,r,c] = Jp[n, 12 + dy + r - 4, 12 + dx + c - 4]
     # via two banded tent matrices (shift-matmul, once)
     rows = jnp.arange(win, dtype=d.dtype)
-    py = (d[:, 1:2] + (SEARCH_R + r)) + rows[None] - r  # [N, 9] target rows
-    px = (d[:, 0:1] + (SEARCH_R + r)) + rows[None] - r
+    py = (d[:, 1:2] + (R + r)) + rows[None] - r  # [N, 9] target rows
+    px = (d[:, 0:1] + (R + r)) + rows[None] - r
     iy = jnp.arange(j_size, dtype=d.dtype)
     Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
     Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
@@ -203,7 +209,8 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
 def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
                   pts: jax.Array, prior: jax.Array, valid: jax.Array, *,
                   levels: int, win: int = 9, iters: int = 30,
-                  eps: float = 0.01, err_max: float = 30.0) -> TrackResult:
+                  eps: float = 0.01, err_max: float = 30.0,
+                  search_r: int = SEARCH_R) -> TrackResult:
     """Forward pyramidal LK from coarsest of ``levels`` to level 0.
 
     Args:
@@ -224,7 +231,7 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
         guess_lvl = guess if lvl == levels - 1 else guess * 2.0
         xy, ok_lvl, err = _lk_level(
             pyr_prev[lvl], pyr_cur[lvl], pts / s, guess_lvl, valid,
-            win=win, iters=iters, eps=eps,
+            win=win, iters=iters, eps=eps, search_r=search_r,
         )
         ok = ok & ok_lvl
         guess = xy
@@ -234,16 +241,17 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
 
 def fb_klt_track(pyr_prev, pyr_cur, pts, prior, valid, *, levels: int,
                  win: int = 9, iters: int = 30, eps: float = 0.01,
-                 err_max: float = 30.0, fb_dist: float = 0.5) -> TrackResult:
+                 err_max: float = 30.0, fb_dist: float = 0.5,
+                 search_r: int = SEARCH_R) -> TrackResult:
     """Forward-backward KLT (reference fbKltTracking,
     feature_tracker.cpp:35-103): forward over ``levels``, backward on
     level 0 only, round-trip gate at ``fb_dist`` pixels."""
     fwd = klt_pyramidal(pyr_prev, pyr_cur, pts, prior, valid,
                         levels=levels, win=win, iters=iters, eps=eps,
-                        err_max=err_max)
+                        err_max=err_max, search_r=search_r)
     bwd = klt_pyramidal(pyr_cur, pyr_prev, fwd.xy, pts, fwd.status,
                         levels=1, win=win, iters=iters, eps=eps,
-                        err_max=err_max)
+                        err_max=err_max, search_r=BACKWARD_R)
     rt = jnp.linalg.norm(bwd.xy - pts, axis=-1)
     status = fwd.status & bwd.status & (rt <= fb_dist)
     return TrackResult(xy=fwd.xy, status=status, err=fwd.err)
