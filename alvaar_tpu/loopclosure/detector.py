@@ -1,0 +1,179 @@
+"""Loop-closure detection + relocalization over a keyframe database.
+
+TPU-native equivalent of the vendored iBoW-LCD / OBIndex2 stack
+(reference src/libs/ibow_lcd/src/lcdetector.cc:54-267,
+src/libs/obindex2/lib/binary_index.cc) — which the reference builds but
+never links (SURVEY §2.3); BASELINE config 3 still names loop closure +
+relocalization as a capability target, so this module exceeds reference
+parity by also wiring geometric relocalization.
+
+Design (per SURVEY §2.3 "tree becomes dense top-K Hamming search on TPU"):
+  * the incremental binary-tree index (binary_tree.cc buildTree /
+    traverseFromRoot) becomes a flat fixed-shape database of the last D
+    keyframes' descriptor sets — brute-force Hamming via ONE ±1 MXU matmul
+    [K_q, 256] x [256, D*K] beats tree traversal at these sizes;
+  * kNN + NNDR 0.8 ratio filter (lcdetector.cc:169-181) = top-2 over the
+    distance matrix;
+  * image voting + min-max score normalization with 0.3 cutoff
+    (lcdetector.cc:183-204);
+  * temporal "islands" of ±island_r keyframes with score accumulation and
+    overlap-priority tracking (lcdetector.cc:206-267, island.h:29) —
+    every candidate acts as an island center, scores accumulate over its
+    neighborhood by a banded mask, and consistency with the previous
+    detection earns the reference's overlap priority;
+  * the p-frame delay queue (lcdetector.h:51) becomes an id-distance gate.
+
+Relocalization (new capability): each database entry stores its landmarks'
+3D positions, so a detected loop (or a lost tracker) can recover an
+absolute pose by descriptor matching + P3P-LMedS against the stored
+geometry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alvaar_tpu.geom.lie import SE3
+from alvaar_tpu.ops.hamming import hamming_matrix_matmul
+from alvaar_tpu.solvers.absolute import AbsolutePoseResult, p3p_lmeds
+
+
+class LoopDB(NamedTuple):
+    desc: jax.Array     # [D, K, 8] uint32 keyframe descriptors
+    lm_pos: jax.Array   # [D, K, 3] landmark world positions at store time
+    lm_is3d: jax.Array  # [D, K] bool
+    kp_valid: jax.Array  # [D, K] bool
+    kf_id: jax.Array    # [D] int32 global keyframe id (-1 empty)
+    pose_q: jax.Array   # [D, 4] stored T_cw quaternions
+    pose_t: jax.Array   # [D, 3]
+    ptr: jax.Array      # int32 ring pointer
+    last_match: jax.Array  # int32 kf id of previous detection (-1 none)
+
+
+class LoopResult(NamedTuple):
+    found: jax.Array      # bool
+    entry: jax.Array      # int32 database slot of the best match
+    match_kf_id: jax.Array  # int32 global keyframe id
+    score: jax.Array      # float island score
+
+
+def db_init(capacity: int, max_kps: int, dtype=jnp.float32) -> LoopDB:
+    return LoopDB(
+        desc=jnp.zeros((capacity, max_kps, 8), jnp.uint32),
+        lm_pos=jnp.zeros((capacity, max_kps, 3), dtype),
+        lm_is3d=jnp.zeros((capacity, max_kps), bool),
+        kp_valid=jnp.zeros((capacity, max_kps), bool),
+        kf_id=jnp.full((capacity,), -1, jnp.int32),
+        pose_q=jnp.zeros((capacity, 4), dtype).at[:, 0].set(1.0),
+        pose_t=jnp.zeros((capacity, 3), dtype),
+        ptr=jnp.asarray(0, jnp.int32),
+        last_match=jnp.asarray(-1, jnp.int32),
+    )
+
+
+@jax.jit
+def db_add(db: LoopDB, desc, lm_pos, lm_is3d, kp_valid, kf_id,
+           pose: SE3) -> LoopDB:
+    """Insert a keyframe into the ring database."""
+    i = db.ptr % db.kf_id.shape[0]
+    return db._replace(
+        desc=db.desc.at[i].set(desc),
+        lm_pos=db.lm_pos.at[i].set(lm_pos),
+        lm_is3d=db.lm_is3d.at[i].set(lm_is3d),
+        kp_valid=db.kp_valid.at[i].set(kp_valid),
+        kf_id=db.kf_id.at[i].set(kf_id),
+        pose_q=db.pose_q.at[i].set(pose.q),
+        pose_t=db.pose_t.at[i].set(pose.t),
+        ptr=db.ptr + 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("nndr", "min_score", "island_r", "delay",
+                                   "min_votes"))
+def detect_loop(db: LoopDB, desc_q, valid_q, query_kf_id, *,
+                nndr: float = 0.8, min_score: float = 0.3,
+                island_r: int = 10, delay: int = 50,
+                min_votes: int = 8) -> tuple[LoopDB, LoopResult]:
+    """Query the database with the current keyframe's descriptors.
+
+    Returns (db with updated temporal-consistency state, LoopResult).
+    """
+    D, K, _ = db.desc.shape
+    Kq = desc_q.shape[0]
+
+    # ---- one dense Hamming pass: [Kq, D*K] ----
+    flat_db = db.desc.reshape(D * K, 8)
+    dist = hamming_matrix_matmul(desc_q, flat_db).astype(jnp.float32)
+    db_ok = (db.kp_valid.reshape(-1)
+             & (db.kf_id[:, None] >= 0).repeat(K, 1).reshape(-1)
+             # the delay queue: recent keyframes are not loop candidates
+             & (query_kf_id - db.kf_id[:, None].repeat(K, 1).reshape(-1)
+                > delay))
+    BIG = jnp.asarray(1e9, jnp.float32)
+    dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
+
+    # ---- kNN + NNDR ratio filter (lcdetector.cc:169-181) ----
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best, second = -neg2[:, 0], -neg2[:, 1]
+    match_ok = (best <= second * nndr) & (best < 256.0)
+    match_img = (idx2[:, 0] // K)                       # [Kq] db slot
+
+    # ---- image voting (searchImages) ----
+    votes = jnp.zeros((D,), jnp.float32).at[match_img].add(
+        jnp.where(match_ok, 1.0, 0.0))
+
+    # ---- min-max normalization + cutoff (lcdetector.cc:183-204) ----
+    has_any = jnp.any(votes > 0)
+    vmax = jnp.max(votes)
+    vmin = jnp.min(jnp.where(db.kf_id >= 0, votes, jnp.inf))
+    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+    norm = (votes - vmin) / jnp.maximum(vmax - vmin, 1e-9)
+    cand = (norm > min_score) & (db.kf_id >= 0) & (votes >= min_votes)
+
+    # ---- temporal islands (lcdetector.cc:206-267) ----
+    ids = db.kf_id
+    near = (jnp.abs(ids[:, None] - ids[None, :]) <= island_r) \
+        & cand[None, :] & (ids[:, None] >= 0)
+    island_score = jnp.sum(jnp.where(near, norm[None, :], 0.0), axis=1) / \
+        jnp.maximum(jnp.sum(near, axis=1), 1).astype(jnp.float32)
+    island_score = jnp.where(cand, island_score, -1.0)
+
+    # overlap priority with the previous detection (getPriorIslands)
+    prior = (jnp.abs(ids - db.last_match) <= island_r) & (db.last_match >= 0)
+    island_score = island_score + jnp.where(prior & cand, 0.5, 0.0)
+
+    entry = jnp.argmax(island_score)
+    found = has_any & cand[entry] & (jnp.sum(cand) > 0)
+    match_kf = jnp.where(found, ids[entry], -1)
+
+    db = db._replace(last_match=jnp.where(found, match_kf, db.last_match))
+    return db, LoopResult(found=found, entry=entry.astype(jnp.int32),
+                          match_kf_id=match_kf.astype(jnp.int32),
+                          score=island_score[entry])
+
+
+@partial(jax.jit, static_argnames=("nndr", "iters"))
+def relocalize(db: LoopDB, entry, desc_q, bearings_q, valid_q, key, *,
+               focal, nndr: float = 0.8, iters: int = 100,
+               min_inliers: int = 12) -> AbsolutePoseResult:
+    """Recover an absolute pose against a stored keyframe's geometry:
+    descriptor NNDR matching to the entry's 3D landmarks, then P3P-LMedS.
+    The capability the reference lacks (its recovery is always full reset,
+    SURVEY §3.5)."""
+    desc_db = db.desc[entry]                 # [K, 8]
+    ok_db = db.kp_valid[entry] & db.lm_is3d[entry]
+    dist = hamming_matrix_matmul(desc_q, desc_db).astype(jnp.float32)
+    BIG = jnp.asarray(1e9, jnp.float32)
+    dist = jnp.where(ok_db[None, :] & valid_q[:, None], dist, BIG)
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best, second = -neg2[:, 0], -neg2[:, 1]
+    m_ok = (best <= second * nndr) & (best < 64.0)
+    pts_w = db.lm_pos[entry][idx2[:, 0]]
+
+    res = p3p_lmeds(key, bearings_q, pts_w, m_ok, focal=focal,
+                    iters=iters, min_inliers=min_inliers)
+    return res

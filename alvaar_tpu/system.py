@@ -41,7 +41,9 @@ class AlvaAR:
 
     def __init__(self, width: int, height: int, fov: float = 45.0,
                  config: Optional[SlamConfig] = None,
-                 camera: Optional[Camera] = None):
+                 camera: Optional[Camera] = None,
+                 enable_loop_closure: bool = False,
+                 loop_db_capacity: int = 256):
         self.config = (config or SlamConfig())
         if self.config.width != width or self.config.height != height:
             self.config = SlamConfig(
@@ -55,6 +57,14 @@ class AlvaAR:
         # IMU-fusion accumulators (reference system.cpp:87-101)
         self._imu_translation = np.zeros(3, np.float64)
         self._imu_prev_slam_t: Optional[np.ndarray] = None
+
+        # loop closure (capability beyond the reference, which vendors
+        # iBoW-LCD but never links it — SURVEY §2.3)
+        self.loop_db = None
+        self.last_loop = None
+        if enable_loop_closure:
+            from alvaar_tpu.loopclosure.detector import db_init
+            self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
 
         self._find_plane = jax.jit(
             lambda key, pts, valid, cam_c: find_plane_ransac(
@@ -79,9 +89,60 @@ class AlvaAR:
         self.state, out = slam_step(self.state, gray, self.camera, self.config)
         self._last_out = out
         self.last_status = int(out.status)
+        if self.loop_db is not None and bool(out.is_keyframe):
+            self._on_keyframe()
         if self.last_status == 1:
             return np.asarray(out.pose_wc)
         return None
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self) -> None:
+        """Push the new keyframe into the loop database and query it."""
+        from alvaar_tpu.loopclosure.detector import db_add, detect_loop
+
+        st = self.state
+        slot = int(st.cur_kf_slot)
+        lm = st.kf_obs_lm[slot]
+        desc = st.lm_desc[lm]
+        kf_id = st.kf_id[slot]
+        pose = SE3(st.kf_pose.q[slot], st.kf_pose.t[slot])
+        valid = st.kf_obs_valid[slot] & st.lm_valid[lm]
+        self.loop_db, res = detect_loop(self.loop_db, desc, valid, kf_id)
+        self.loop_db = db_add(
+            self.loop_db, desc, st.lm_pos[lm],
+            st.lm_is3d[lm] & valid, valid, kf_id, pose)
+        self.last_loop = res if bool(res.found) else None
+
+    def relocalize(self) -> Optional[np.ndarray]:
+        """Attempt pose recovery against the loop database using the
+        current frame's tracked keypoints (descriptor match + P3P-LMedS).
+        Returns a 4x4 T_wc or None.  This is a capability the reference
+        lacks — its only recovery is full reset + re-init (SURVEY §3.5)."""
+        if self.loop_db is None or self._last_out is None:
+            return None
+        from alvaar_tpu.loopclosure.detector import relocalize as _reloc
+
+        st = self.state
+        desc = st.lm_desc[st.kp_lm]
+        valid = st.kp_valid
+        bearings = self.camera.bearing(st.kp_und)
+        best = None
+        entries = range(min(int(self.loop_db.ptr),
+                            self.loop_db.kf_id.shape[0]))
+        import jax as _jax
+        key, sub = _jax.random.split(st.rng_key)
+        self.state = st._replace(rng_key=key)
+        for e in entries:
+            res = _reloc(self.loop_db, jnp.asarray(e), desc, bearings,
+                         valid, sub, focal=self.camera.fx)
+            if bool(res.success):
+                n = int(res.num_inliers)
+                if best is None or n > best[0]:
+                    best = (n, res)
+        if best is None:
+            return None
+        return np.asarray(SE3(best[1].pose.q, best[1].pose.t)
+                          .inverse().matrix())
 
     def find_camera_pose_with_imu(self, frame, orientation,
                                   motion=None) -> np.ndarray:
