@@ -302,6 +302,47 @@ def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
         pose=new_pose)
 
 
+def filter_redundant_keyframes(state: MapState, cfg: SlamConfig) -> MapState:
+    """Remove keyframes whose 3D observations are redundantly covered
+    (reference mapper.cpp:75-141): a keyframe dies when more than
+    ``kf_filtering_ratio`` (0.95) of its 3D landmarks are observed by more
+    than 4 keyframes, or when it has fewer than ba_min_covisibility/2 3D
+    observations.  The newest keyframe and keyframe 0 are exempt; the
+    filter only runs once ≥20 keyframes exist (mapper.cpp:77)."""
+    if cfg.kf_filtering_ratio >= 1.0:
+        return state
+    W = cfg.window_size
+    slot = state.cur_kf_slot
+
+    lm3d = state.lm_valid & state.lm_is3d
+    n_obs_lm = jnp.sum(state.lm_obs & state.kf_valid[None, :], axis=1)
+    well_observed = lm3d & (n_obs_lm > 4)
+
+    obs3d = (state.kf_obs_valid
+             & lm3d[state.kf_obs_lm])                       # [W, K]
+    good = obs3d & well_observed[state.kf_obs_lm]
+    n_total = jnp.sum(obs3d, axis=1)
+    n_good = jnp.sum(good, axis=1)
+    ratio = n_good.astype(jnp.float32) / jnp.maximum(n_total, 1).astype(jnp.float32)
+
+    eligible = (state.kf_valid
+                & (jnp.arange(W) != slot)
+                & (state.kf_id > 0)
+                & (state.next_kf_id - 1 >= 20))
+    too_sparse = n_total < cfg.ba_min_covisibility // 2
+    remove = eligible & ((ratio > cfg.kf_filtering_ratio) | too_sparse)
+
+    kf_valid = state.kf_valid & ~remove
+    kf_obs_valid = state.kf_obs_valid & ~remove[:, None]
+    lm_obs = state.lm_obs & kf_valid[None, :]
+    # cull landmarks that lost their support
+    bound = _lm_bound_in_frame(state)
+    n_obs = jnp.sum(lm_obs & kf_valid[None, :], axis=1)
+    lm_valid = state.lm_valid & ~(state.lm_is3d & (n_obs < 2) & ~bound)
+    return state._replace(kf_valid=kf_valid, kf_obs_valid=kf_obs_valid,
+                          lm_obs=lm_obs, lm_valid=lm_valid)
+
+
 def create_keyframe(state: MapState, gray, cam: Camera,
                     cfg: SlamConfig) -> MapState:
     """Full keyframe pipeline (reference visual_frontend.cpp:27-33 →
@@ -337,5 +378,7 @@ def create_keyframe(state: MapState, gray, cam: Camera,
         lambda s: run_local_ba(s, cam, cfg),
         lambda s: s,
         state)
+    # redundancy filtering after BA (reference mapper.cpp:63-141 order)
+    state = filter_redundant_keyframes(state, cfg)
     return state._replace(
         reset_requested=state.reset_requested | bad_boot)
