@@ -102,9 +102,16 @@ def _tent_weights(d, size: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(i[None, :] - d[:, None]))
 
 
+def _use_pallas_default() -> bool:
+    """The fused Pallas kernel currently matches (not beats) the XLA
+    correlation-volume path — extraction dominates both — so the default
+    stays XLA; flip per-call with use_pallas=True (TPU only)."""
+    return False
+
+
 def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
               win: int, iters: int, eps: float, search_r: int = SEARCH_R,
-              min_eig: float = 1e-4):
+              min_eig: float = 1e-4, use_pallas: bool | None = None):
     """One pyramid level of correlation-volume LK for all points.
 
     pts_prev/guess in THIS level's pixel coordinates.
@@ -153,53 +160,69 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
         [jnp.clip(base_j[:, 0], margin, w - margin - 1),
          jnp.clip(base_j[:, 1], margin, h - margin - 1)], axis=1)
     Jp = _extract_patches(img_cur, base_j, j_size, margin - 1)
-    C_gx = _correlate(Jp, gx, win, cr)
-    C_gy = _correlate(Jp, gy, win, cr)
 
     # ---- GN iterations on the volumes (gather-free) ----
     d0 = guess - base_j.astype(guess.dtype)            # start displacement
     lim = R - 1.001
-
-    # stacked volumes: one contraction per iteration serves both axes
-    C2 = jnp.stack([C_gx, C_gy], axis=1)               # [N, 2, 17, 17]
-    c0 = jnp.stack([cx0, cy0], axis=-1)                # [N, 2]
-
-    frozen = ~(valid & trackable)
-    d = jnp.clip(d0, -lim, lim)
-    # unrolled GN: pure VPU work per iteration; unrolling lets XLA fuse
-    # across iterations (loop-carried scan adds per-iteration overhead)
-    for _ in range(iters):
-        wx = _tent_weights(d[:, 0] + R, cr)
-        wy = _tent_weights(d[:, 1] + R, cr)
-        b = jnp.einsum("ny,nkyx,nx->nk", wy, C2, wx,
-                       precision=jax.lax.Precision.HIGHEST) - c0
-        sx = -(i00 * b[:, 0] + i01 * b[:, 1])
-        sy = -(i01 * b[:, 0] + i11 * b[:, 1])
-        step = jnp.stack([sx, sy], axis=-1)
-        step = jnp.where(frozen[:, None], 0.0, step)
-        d = jnp.clip(d + step, -lim, lim)
-        frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
+    frozen0 = ~(valid & trackable)
     d0c = jnp.clip(d0, -lim, lim)
 
-    # ---- final window, L1 error, gates (once, outside the loop) ----
-    # select 9x9 window: W[n,r,c] = Jp[n, 12 + dy + r - 4, 12 + dx + c - 4]
-    # via two banded tent matrices (shift-matmul, once)
-    rows = jnp.arange(win, dtype=d.dtype)
-    py = (d[:, 1:2] + (R + r)) + rows[None] - r  # [N, 9] target rows
-    px = (d[:, 0:1] + (R + r)) + rows[None] - r
-    iy = jnp.arange(j_size, dtype=d.dtype)
-    Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
-    Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
-    Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx,
-                     precision=jax.lax.Precision.HIGHEST)
-    err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
+    if use_pallas:
+        # fused single-kernel path: correlation + iterations + final error
+        from alvaar_tpu.ops.pallas.lk_kernel import lk_iterate_pallas
+        cons = jnp.stack([cx0, cy0, i00, i01, i11,
+                          d0[:, 0], d0[:, 1],
+                          frozen0.astype(jnp.float32)], axis=0)
+        out = lk_iterate_pallas(
+            T.transpose(1, 2, 0), gx.transpose(1, 2, 0),
+            gy.transpose(1, 2, 0), Jp.transpose(1, 2, 0), cons,
+            win=win, search_r=R, iters=iters, eps=eps)
+        d = jnp.stack([out[0], out[1]], axis=-1)
+        err = out[2]
+        at_edge = out[3] > 0.5
+    else:
+        C_gx = _correlate(Jp, gx, win, cr)
+        C_gy = _correlate(Jp, gy, win, cr)
+        # stacked volumes: one contraction per iteration serves both axes
+        C2 = jnp.stack([C_gx, C_gy], axis=1)           # [N, 2, cr, cr]
+        c0 = jnp.stack([cx0, cy0], axis=-1)            # [N, 2]
+
+        frozen = frozen0
+        d = d0c
+        # unrolled GN: pure VPU work; unrolling lets XLA fuse across
+        # iterations (loop-carried scan adds per-iteration overhead)
+        for _ in range(iters):
+            wx = _tent_weights(d[:, 0] + R, cr)
+            wy = _tent_weights(d[:, 1] + R, cr)
+            b = jnp.einsum("ny,nkyx,nx->nk", wy, C2, wx,
+                           precision=jax.lax.Precision.HIGHEST) - c0
+            sx = -(i00 * b[:, 0] + i01 * b[:, 1])
+            sy = -(i01 * b[:, 0] + i11 * b[:, 1])
+            step = jnp.stack([sx, sy], axis=-1)
+            step = jnp.where(frozen[:, None], 0.0, step)
+            d = jnp.clip(d + step, -lim, lim)
+            frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
+
+        # ---- final window, L1 error (banded tent shift-matmul, once) ----
+        rows = jnp.arange(win, dtype=d.dtype)
+        py = (d[:, 1:2] + (R + r)) + rows[None] - r    # [N, 9] target rows
+        px = (d[:, 0:1] + (R + r)) + rows[None] - r
+        iy = jnp.arange(j_size, dtype=d.dtype)
+        Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
+        Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
+        Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx,
+                         precision=jax.lax.Precision.HIGHEST)
+        err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
+        at_edge = jnp.any(jnp.abs(d) >= lim - 1e-3, axis=-1)
 
     xy = base_j.astype(d.dtype) + d
     rb = float(r + 1)
     inb = ((xy[:, 0] >= rb) & (xy[:, 0] < w - rb)
            & (xy[:, 1] >= rb) & (xy[:, 1] < h - rb))
-    # a point that ended pinned to the volume edge did not converge there
-    at_edge = jnp.any(jnp.abs(d) >= lim - 1e-3, axis=-1)
+    # a point pinned to the volume edge did not converge there
     # ... unless it started there because the prior was already at the edge
     started_edge = jnp.any(jnp.abs(d0c) >= lim - 1e-3, axis=-1)
     ok = valid & trackable & inb & (~at_edge | started_edge)
