@@ -272,8 +272,11 @@ def fb_klt_track(pyr_prev, pyr_cur, pts, prior, valid, *, levels: int,
     fwd = klt_pyramidal(pyr_prev, pyr_cur, pts, prior, valid,
                         levels=levels, win=win, iters=iters, eps=eps,
                         err_max=err_max, search_r=search_r)
+    # the backward pass starts from an exact prior (the forward start
+    # point) and only verifies a 0.5 px round trip — a short iteration
+    # budget converges or the fb gate rejects
     bwd = klt_pyramidal(pyr_cur, pyr_prev, fwd.xy, pts, fwd.status,
-                        levels=1, win=win, iters=iters, eps=eps,
+                        levels=1, win=win, iters=min(iters, 12), eps=eps,
                         err_max=err_max, search_r=BACKWARD_R)
     rt = jnp.linalg.norm(bwd.xy - pts, axis=-1)
     status = fwd.status & bwd.status & (rt <= fb_dist)

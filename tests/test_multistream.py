@@ -1,0 +1,70 @@
+"""Multi-stream sharded serving tests on the virtual 8-device CPU mesh
+(BASELINE config 5; the driver separately dry-runs this path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from alvaar_tpu.config import SlamConfig
+from alvaar_tpu.geom.camera import Camera
+from alvaar_tpu.parallel.multistream import (
+    init_multistream_state,
+    make_multistream_step,
+    shard_states,
+)
+
+CFG = SlamConfig(width=128, height=96, cell_size=32, window_size=4,
+                 max_landmarks=64, ransac_iters=8, ba_iters=1,
+                 pyramid_levels=2, klt_iters=4, min_init_keypoints=4)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), axis_names=("streams",))
+
+
+class TestMultistream:
+    def test_step_runs_sharded(self, mesh, rng):
+        B = 8
+        cam = Camera.from_fov(CFG.width, CFG.height, 60.0)
+        states = shard_states(init_multistream_state(CFG, B), mesh)
+        frames = jax.device_put(
+            jnp.asarray(rng.uniform(0, 255, (B, CFG.height, CFG.width)),
+                        jnp.float32),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec("streams")))
+        step = make_multistream_step(CFG, cam, mesh)
+        states, out = step(states, frames)
+        jax.block_until_ready(states)
+        assert out.status.shape == (B,)
+        # every stream saw its first frame → initializing status
+        np.testing.assert_array_equal(np.asarray(out.status), [3] * B)
+        assert np.asarray(states.frame_id).tolist() == [1] * B
+
+    def test_streams_independent(self, mesh, rng):
+        """Different per-stream inputs must produce independent states."""
+        B = 8
+        cam = Camera.from_fov(CFG.width, CFG.height, 60.0)
+        states = shard_states(init_multistream_state(CFG, B), mesh)
+        spec = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("streams"))
+        step = make_multistream_step(CFG, cam, mesh)
+        # stream 0 gets flat frames (no texture), others a static
+        # textured scene (trackable across the two frames)
+        from tests.test_image_ops import smooth_noise
+        tex = smooth_noise(rng, CFG.height, CFG.width)
+        f1 = np.broadcast_to(tex, (B, CFG.height, CFG.width)).copy()
+        f1[0] = 128.0
+        states, out = step(states, jax.device_put(
+            jnp.asarray(f1, jnp.float32), spec))
+        states, out = step(states, jax.device_put(
+            jnp.asarray(f1, jnp.float32), spec))
+        jax.block_until_ready(states)
+        n_kp = np.asarray(states.kp_valid.sum(axis=1))
+        assert n_kp[0] == 0          # flat stream detected nothing
+        assert (n_kp[1:] > 0).all()  # textured streams track
