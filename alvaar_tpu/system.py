@@ -66,13 +66,20 @@ class AlvaAR:
             from alvaar_tpu.loopclosure.detector import db_init
             self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
 
-        self._find_plane = jax.jit(
-            lambda key, pts, valid, cam_c: find_plane_ransac(
-                key, pts, valid, cam_c,
-                iters=self.config.plane_iters,
-                min_points=self.config.plane_min_points,
-                max_tilt_deg=self.config.plane_max_tilt_deg,
-                inlier_scale=self.config.plane_inlier_scale))
+        self._find_plane_cache = {}
+
+    def _find_plane(self, iters: int):
+        """Per-iteration-count jitted plane solver (iters is static)."""
+        fn = self._find_plane_cache.get(iters)
+        if fn is None:
+            cfg = self.config
+            fn = jax.jit(lambda key, pts, valid, cam_c: find_plane_ransac(
+                key, pts, valid, cam_c, iters=iters,
+                min_points=cfg.plane_min_points,
+                max_tilt_deg=cfg.plane_max_tilt_deg,
+                inlier_scale=cfg.plane_inlier_scale))
+            self._find_plane_cache[iters] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def _to_gray(self, frame) -> jax.Array:
@@ -188,7 +195,7 @@ class AlvaAR:
         cam_c = SE3(st.pose.q, st.pose.t).inverse().t
         key, sub = jax.random.split(st.rng_key)
         self.state = st._replace(rng_key=key)
-        res = self._find_plane(sub, pts, bound3d, cam_c)
+        res = self._find_plane(num_iterations)(sub, pts, bound3d, cam_c)
         if not bool(res.success):
             return None
         pose = SE3(res.pose.q, res.pose.t)
