@@ -59,14 +59,17 @@ BACKWARD_R = 2      # radius for the backward verification pass: a good
 
 
 def _extract_patches(img, base_xy, size: int, lo: int):
-    """Gather [N, size, size] patches: patch[n, p, q] =
-    img[base_y + p - lo, base_x + q - lo].  One flat gather — fast outside
-    loops.  base_xy int32 [N, 2] must be pre-clipped."""
-    h, w = img.shape
-    d = jnp.arange(size, dtype=jnp.int32) - lo
-    idx = ((base_xy[:, 1, None, None] + d[None, :, None]) * w
-           + base_xy[:, 0, None, None] + d[None, None, :])
-    return img.reshape(-1)[idx.reshape(-1)].reshape(-1, size, size)
+    """Extract [N, size, size] patches: patch[n, p, q] =
+    img[base_y + p - lo, base_x + q - lo].  base_xy int32 [N, 2] must be
+    pre-clipped.
+
+    Implemented as vmapped dynamic_slice, NOT an HLO gather: inside
+    lax.scan/while bodies (where the whole SLAM step lives) TPU gathers
+    run ~1.4 ms regardless of size while slice batches run ~0.5 ms."""
+    def one(bx, by):
+        return jax.lax.dynamic_slice(img, (by - lo, bx - lo), (size, size))
+
+    return jax.vmap(one)(base_xy[:, 0], base_xy[:, 1])
 
 
 def _frac_blend(patch, fx, fy, out: int):
