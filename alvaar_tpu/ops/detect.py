@@ -80,14 +80,18 @@ def grid_argmax(resp, cell: int):
 
 def subpix_refine(resp, xy_int):
     """Closed-form quadratic-fit subpixel peak refinement on the response
-    surface.  xy_int: [N, 2] i32; returns [N, 2] f32."""
+    surface.  xy_int: [N, 2] i32; returns [N, 2] f32.
+
+    3x3 neighborhoods come from one vmapped dynamic_slice batch (in-loop
+    HLO gathers are slow on TPU, see ops/image.extract_patches)."""
     h, w = resp.shape
     x = jnp.clip(xy_int[:, 0], 1, w - 2)
     y = jnp.clip(xy_int[:, 1], 1, h - 2)
-    flat = resp.reshape(-1)
+    from alvaar_tpu.ops.image import extract_patches
+    nb = extract_patches(resp, jnp.stack([x, y], axis=1), 3, 1)  # [N, 3, 3]
 
     def at(dy, dx):
-        return flat[(y + dy) * w + (x + dx)]
+        return nb[:, 1 + dy, 1 + dx]
 
     c = at(0, 0)
     dxx = at(0, 1) + at(0, -1) - 2 * c

@@ -130,6 +130,19 @@ def clahe(img, clip: float = 3.0, tiles: int = 8):
             + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
+def extract_patches(img, base_xy, size: int, lo: int):
+    """Extract [N, size, size] patches at integer bases:
+    patch[n, p, q] = img[base_y + p - lo, base_x + q - lo].
+
+    vmapped dynamic_slice, NOT an HLO gather — inside lax loop bodies TPU
+    gathers cost ~1.4 ms regardless of size; slice batches ~0.5 ms.
+    base_xy int32 [N, 2] must be pre-clipped to keep slices in bounds."""
+    def one(bx, by):
+        return jax.lax.dynamic_slice(img, (by - lo, bx - lo), (size, size))
+
+    return jax.vmap(one)(base_xy[:, 0], base_xy[:, 1])
+
+
 def bilinear_sample(img, xy):
     """Bilinear interpolation of [H, W] f32 at xy [..., 2] (x, y) coords.
 

@@ -58,18 +58,7 @@ BACKWARD_R = 2      # radius for the backward verification pass: a good
                     # rejected — so a tiny volume is sufficient AND cheap
 
 
-def _extract_patches(img, base_xy, size: int, lo: int):
-    """Extract [N, size, size] patches: patch[n, p, q] =
-    img[base_y + p - lo, base_x + q - lo].  base_xy int32 [N, 2] must be
-    pre-clipped.
-
-    Implemented as vmapped dynamic_slice, NOT an HLO gather: inside
-    lax.scan/while bodies (where the whole SLAM step lives) TPU gathers
-    run ~1.4 ms regardless of size while slice batches run ~0.5 ms."""
-    def one(bx, by):
-        return jax.lax.dynamic_slice(img, (by - lo, bx - lo), (size, size))
-
-    return jax.vmap(one)(base_xy[:, 0], base_xy[:, 1])
+from alvaar_tpu.ops.image import extract_patches as _extract_patches
 
 
 def _frac_blend(patch, fx, fy, out: int):
