@@ -36,6 +36,21 @@ def pose_to_array(T_wc: np.ndarray) -> np.ndarray:
     return np.asarray(T_wc, np.float32).T.reshape(-1).copy()
 
 
+def pose_to_three(T_wc: np.ndarray) -> tuple:
+    """4x4 T_wc → (quaternion (x,y,z,w), position (x,y,z)) with the
+    renderer handedness flips of the reference's Three.js connector
+    (reference dist/alva_ar_three.js:27-38: quaternion (-x, y, z, w),
+    position (x, -y, -z))."""
+    from alvaar_tpu.geom.lie import matrix_to_quat
+    import jax.numpy as _jnp
+
+    q = np.asarray(matrix_to_quat(_jnp.asarray(T_wc[:3, :3])))  # (w,x,y,z)
+    t = np.asarray(T_wc[:3, 3])
+    quat_xyzw = np.array([-q[1], q[2], q[3], q[0]], np.float32)
+    pos = np.array([t[0], -t[1], -t[2]], np.float32)
+    return quat_xyzw, pos
+
+
 class AlvaAR:
     """Monocular visual SLAM with the AlvaAR API, TPU-native inside."""
 
