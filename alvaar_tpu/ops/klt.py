@@ -244,9 +244,13 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         guess_lvl = guess if lvl == levels - 1 else guess * 2.0
+        # only the coarsest level searches the full radius; finer levels
+        # refine an upsampled estimate whose error is ~2x the previous
+        # level's convergence tolerance
+        r_lvl = search_r if lvl == levels - 1 else min(search_r, 4)
         xy, ok_lvl, err = _lk_level(
             pyr_prev[lvl], pyr_cur[lvl], pts / s, guess_lvl, valid,
-            win=win, iters=iters, eps=eps, search_r=search_r,
+            win=win, iters=iters, eps=eps, search_r=r_lvl,
         )
         ok = ok & ok_lvl
         guess = xy
