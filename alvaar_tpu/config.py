@@ -66,7 +66,6 @@ class SlamConfig:
     pnp_iters: int = 5           # motion-only PnP LM iterations (mvg.cpp:184)
     ba_iters: int = 5            # local BA LM iterations (optimizer.cpp:256)
     huber_thresh: float = math.sqrt(5.9915)  # chi2 95% 2-dof (mvg.cpp:160)
-    use_inverse_depth: bool = True           # state.hpp:74 baInverseDepthEnabled_
     ba_min_covisibility: int = 25            # constant-pose gate (optimizer.cpp:94)
 
     # ---- keyframe / map policy -------------------------------------------
@@ -74,8 +73,9 @@ class SlamConfig:
     max_landmarks: int = 4096    # landmark pool size (fixed-shape)
     kf_filtering_ratio: float = 0.95  # redundancy filter (system.cpp:18)
     triang_max_reproj_px: float = 3.0  # temporal triangulation gate (mapper.cpp:230)
-    match_nndr: float = 0.9      # Hamming best/second ratio (mapper.cpp:478)
-    match_max_hamming: int = 65  # max descriptor distance for a match
+    match_nndr: float = 0.9        # Hamming best/second ratio (mapper.cpp:478)
+    match_max_hamming: float = 51.2  # max descriptor distance for a match
+                                     # (reference state.hpp:62: 0.2 * 256 bits)
 
     # ---- bootstrap gates (state.hpp:37, visual_frontend.cpp:56-60) --------
     init_parallax_px: float = 40.0
@@ -88,13 +88,12 @@ class SlamConfig:
     plane_max_tilt_deg: float = 5.0
     plane_inlier_scale: float = 1.4
 
-    # ---- descriptors -------------------------------------------------------
-    desc_bytes: int = 32         # 256-bit binary descriptor
-    orb_patch: int = 31          # patch diameter for orientation/sampling
-
     # ---- compute ------------------------------------------------------------
     dtype: str = "float32"
-    use_pallas: bool = True      # Pallas kernels on TPU; pure-XLA fallback otherwise
+    # Fused Pallas LK kernel (TPU only). Off by default: the XLA
+    # correlation-volume path currently matches it; flip on to route
+    # fb_klt_track through ops/pallas/lk_kernel.py.
+    use_pallas: bool = False
     seed: int = 0                # deterministic PRNG (reference is nondeterministic,
                                  # system.cpp:210 std::random_device — we diverge)
 

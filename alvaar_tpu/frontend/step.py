@@ -74,7 +74,8 @@ def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
     prior_ok = is3d & in_img
 
     klt_args = dict(win=cfg.klt_window, iters=cfg.klt_iters, eps=cfg.klt_eps,
-                    err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist)
+                    err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist,
+                    use_pallas=cfg.use_pallas)
     # motion-prior stage: the prior is accurate to a few px, so a small
     # search volume suffices (stage 2 re-tries failures at full radius)
     s1 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, proj, prior_ok,
@@ -117,7 +118,9 @@ def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
         state.p3p_req | (state.pose_failures > 0))
 
     def with_p3p(_):
-        r = p3p_lmeds(key, bearings, pts_w, is3d, focal=cam.fx,
+        # (fx + fy) / 2, reference multi_view_geometry.cpp:73-74
+        r = p3p_lmeds(key, bearings, pts_w, is3d,
+                      focal=0.5 * (cam.fx + cam.fy),
                       iters=cfg.ransac_iters, err_px=cfg.ransac_err_px,
                       min_inliers=cfg.p3p_min_inliers)
         pose = jax.tree.map(
@@ -132,7 +135,7 @@ def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
                                                without_p3p, None)
 
     res = pnp_refine(pose_init, cam, pts_w, state.kp_und, pnp_mask,
-                     iters=cfg.pnp_iters)
+                     iters=cfg.pnp_iters, huber_delta=cfg.huber_thresh)
     n_in = res.num_inliers
     n_used = jnp.sum(pnp_mask)
     success = ((n3d >= 4) & p3p_ok & (n_in >= 5)
@@ -202,7 +205,8 @@ def _attempt_init(state: MapState, cam: Camera, cfg: SlamConfig, key):
             st.kf_obs_valid[slot] & st.kp_valid
         f_kf = cam.bearing(st.kf_obs_px[slot])
         f_cur = cam.bearing(st.kp_und)
-        r = essential_ransac(key, f_kf, f_cur, same, focal=cam.fx,
+        r = essential_ransac(key, f_kf, f_cur, same,
+                             focal=0.5 * (cam.fx + cam.fy),
                              iters=cfg.ransac_iters,
                              err_px=cfg.ransac_err_px,
                              min_inliers=cfg.init_min_inliers)
@@ -257,15 +261,24 @@ def _keyframe_required(state: MapState, cam: Camera, cfg: SlamConfig):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))
-def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig
-              ) -> tuple[MapState, StepOutput]:
+def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
+              dt=1.0) -> tuple[MapState, StepOutput]:
     """Process one grayscale frame; returns the new state and outputs.
 
     Mirrors the reference call stack (SURVEY §3.2): preprocess → motion
     prior → two-stage KLT → [init | PnP] → keyframe decision → [keyframe
     pipeline] → status dispatch.
+
+    ``dt`` is the time since the previous frame in arbitrary units
+    (seconds when the caller passes real timestamps; 1.0 per frame
+    otherwise).  The constant-velocity motion model stores ``vel`` as a
+    per-unit-time twist and scales by ``dt``, so frame drops extrapolate
+    correctly (the reference's dt-scaled MotionModel,
+    visual_frontend.hpp:11-68 — its wall-clock timestamping quirk at
+    system.cpp:114 is replaced by caller-provided time, SURVEY §7).
     """
     pyr_cur = preprocess(gray, cfg)
+    dt = jnp.maximum(jnp.asarray(dt, jnp.float32), 1e-6)
     key, k1, k2 = jax.random.split(state.rng_key, 3)
     state = state._replace(rng_key=key)
 
@@ -283,15 +296,15 @@ def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig
         return st, became_ready, jnp.asarray(False)
 
     def tracking_phase(st: MapState):
-        # constant-velocity prior: T_cw_prior = Exp(-vel) ∘ T_cw
-        pose_prior = SE3.exp(-st.vel).compose(st.pose)
+        # constant-velocity prior: T_cw_prior = Exp(-vel·dt) ∘ T_cw
+        pose_prior = SE3.exp(-st.vel * dt).compose(st.pose)
         st = _track_keypoints(st, pyr_cur, pose_prior, cam, cfg)
         prev_pose = st.pose
         st = st._replace(pose=pose_prior)
         st, success = _compute_pose(st, cam, cfg, k1)
-        # motion model update: vel = log(T_wc_prev⁻¹ ∘ T_wc_cur)
-        #                          = log(T_cw_prev ∘ T_wc_cur)
-        new_vel = prev_pose.compose(st.pose.inverse()).log()
+        # motion model update: vel = log(T_wc_prev⁻¹ ∘ T_wc_cur) / dt
+        #                          = log(T_cw_prev ∘ T_wc_cur) / dt
+        new_vel = prev_pose.compose(st.pose.inverse()).log() / dt
         st = st._replace(vel=jnp.where(success, new_vel, st.vel))
         kf_req = _keyframe_required(st, cam, cfg)
         return st, kf_req & success, success

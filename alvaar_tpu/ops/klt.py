@@ -225,7 +225,8 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
                   pts: jax.Array, prior: jax.Array, valid: jax.Array, *,
                   levels: int, win: int = 9, iters: int = 30,
                   eps: float = 0.01, err_max: float = 30.0,
-                  search_r: int = SEARCH_R) -> TrackResult:
+                  search_r: int = SEARCH_R,
+                  use_pallas: bool | None = None) -> TrackResult:
     """Forward pyramidal LK from coarsest of ``levels`` to level 0.
 
     Args:
@@ -251,6 +252,7 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
         xy, ok_lvl, err = _lk_level(
             pyr_prev[lvl], pyr_cur[lvl], pts / s, guess_lvl, valid,
             win=win, iters=iters, eps=eps, search_r=r_lvl,
+            use_pallas=use_pallas,
         )
         ok = ok & ok_lvl
         guess = xy
@@ -261,19 +263,22 @@ def klt_pyramidal(pyr_prev: Sequence[jax.Array], pyr_cur: Sequence[jax.Array],
 def fb_klt_track(pyr_prev, pyr_cur, pts, prior, valid, *, levels: int,
                  win: int = 9, iters: int = 30, eps: float = 0.01,
                  err_max: float = 30.0, fb_dist: float = 0.5,
-                 search_r: int = SEARCH_R) -> TrackResult:
+                 search_r: int = SEARCH_R,
+                 use_pallas: bool | None = None) -> TrackResult:
     """Forward-backward KLT (reference fbKltTracking,
     feature_tracker.cpp:35-103): forward over ``levels``, backward on
     level 0 only, round-trip gate at ``fb_dist`` pixels."""
     fwd = klt_pyramidal(pyr_prev, pyr_cur, pts, prior, valid,
                         levels=levels, win=win, iters=iters, eps=eps,
-                        err_max=err_max, search_r=search_r)
+                        err_max=err_max, search_r=search_r,
+                        use_pallas=use_pallas)
     # the backward pass starts from an exact prior (the forward start
     # point) and only verifies a 0.5 px round trip — a short iteration
     # budget converges or the fb gate rejects
     bwd = klt_pyramidal(pyr_cur, pyr_prev, fwd.xy, pts, fwd.status,
                         levels=1, win=win, iters=min(iters, 12), eps=eps,
-                        err_max=err_max, search_r=BACKWARD_R)
+                        err_max=err_max, search_r=BACKWARD_R,
+                        use_pallas=use_pallas)
     rt = jnp.linalg.norm(bwd.xy - pts, axis=-1)
     status = fwd.status & bwd.status & (rt <= fb_dist)
     return TrackResult(xy=fwd.xy, status=status, err=fwd.err)

@@ -69,6 +69,7 @@ class AlvaAR:
             width, height, fov)
         self.state = init_map_state(self.config)
         self._last_out = None
+        self._last_ts: Optional[float] = None
         # IMU-fusion accumulators (reference system.cpp:87-101)
         self._imu_translation = np.zeros(3, np.float64)
         self._imu_prev_slam_t: Optional[np.ndarray] = None
@@ -103,12 +104,30 @@ class AlvaAR:
             return rgba_to_gray(frame)
         return frame.astype(jnp.float32)
 
-    def find_camera_pose(self, frame) -> Optional[np.ndarray]:
+    def _dt(self, timestamp: Optional[float]) -> float:
+        """Inter-frame dt from caller timestamps (seconds); 1.0 per frame
+        when the caller provides none.  The reference stamps frames with
+        wall-clock time inside the engine (system.cpp:114, a documented
+        quirk); here time comes from the caller (SURVEY §7)."""
+        if timestamp is None:
+            self._last_ts = None
+            return 1.0
+        dt = 1.0 if self._last_ts is None else float(timestamp) - self._last_ts
+        self._last_ts = float(timestamp)
+        return dt if dt > 0 else 1.0
+
+    def find_camera_pose(self, frame,
+                         timestamp: Optional[float] = None
+                         ) -> Optional[np.ndarray]:
         """Run one SLAM iteration.  Returns the 4x4 camera-to-world pose
         (T_wc) when tracking (status 1), else None (status 2/3 — reference
-        system.js:179-199 returns the pose only on status 1)."""
+        system.js:179-199 returns the pose only on status 1).
+
+        ``timestamp``: frame time in seconds; enables dt-scaled
+        constant-velocity extrapolation under frame drops."""
         gray = self._to_gray(frame)
-        self.state, out = slam_step(self.state, gray, self.camera, self.config)
+        self.state, out = slam_step(self.state, gray, self.camera,
+                                    self.config, self._dt(timestamp))
         self._last_out = out
         self.last_status = int(out.status)
         if self.loop_db is not None and bool(out.is_keyframe):
@@ -156,7 +175,8 @@ class AlvaAR:
         self.state = st._replace(rng_key=key)
         for e in entries:
             res = _reloc(self.loop_db, jnp.asarray(e), desc, bearings,
-                         valid, sub, focal=self.camera.fx)
+                         valid, sub,
+                         focal=0.5 * (self.camera.fx + self.camera.fy))
             if bool(res.success):
                 n = int(res.num_inliers)
                 if best is None or n > best[0]:
@@ -166,8 +186,9 @@ class AlvaAR:
         return np.asarray(SE3(best[1].pose.q, best[1].pose.t)
                           .inverse().matrix())
 
-    def find_camera_pose_with_imu(self, frame, orientation,
-                                  motion=None) -> np.ndarray:
+    def find_camera_pose_with_imu(self, frame, orientation, motion=None,
+                                  timestamp: Optional[float] = None
+                                  ) -> np.ndarray:
         """IMU-attitude + visual-odometry-translation fusion (reference
         system.cpp:57-104): the returned rotation comes from the device
         orientation quaternion ((w, x, y, z), mirrored like the reference's
@@ -177,7 +198,8 @@ class AlvaAR:
         future work there and here.  Always returns a pose (status 1),
         like the reference (system.cpp:103)."""
         gray = self._to_gray(frame)
-        self.state, out = slam_step(self.state, gray, self.camera, self.config)
+        self.state, out = slam_step(self.state, gray, self.camera,
+                                    self.config, self._dt(timestamp))
         self._last_out = out
         self.last_status = 1
 
@@ -198,10 +220,15 @@ class AlvaAR:
         T[:3, 3] = self._imu_translation.astype(np.float32)
         return T
 
-    def find_plane(self, num_iterations: int = 250) -> Optional[np.ndarray]:
+    def find_plane(self,
+                   num_iterations: Optional[int] = None) -> Optional[np.ndarray]:
         """Dominant horizontal plane among currently observed 3D map
         points (reference system.cpp:123-137,177-342).  Returns a 4x4
-        plane-to-world pose or None."""
+        plane-to-world pose or None.  Iteration count defaults to
+        ``config.plane_iters`` (the reference's JS default 250,
+        system.js:202)."""
+        if num_iterations is None:
+            num_iterations = self.config.plane_iters
         st = self.state
         bound3d = (st.kp_valid & st.lm_valid[st.kp_lm]
                    & st.lm_is3d[st.kp_lm])
@@ -231,5 +258,6 @@ class AlvaAR:
         self.state = init_map_state(self.config)._replace(
             rng_key=self.state.rng_key)
         self._last_out = None
+        self._last_ts = None
         self._imu_translation[:] = 0
         self._imu_prev_slam_t = None

@@ -272,7 +272,8 @@ def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
         anchor_kf=state.lm_anchor, anchor_mxy=state.lm_mxy,
         invdepth=state.lm_invd, lm_valid=state.lm_valid & state.lm_is3d,
         obs_lm=obs_lm, obs_px=state.kf_obs_px, obs_valid=ba_obs)
-    res = local_ba(prob, cam, iters=cfg.ba_iters, refine_iters=2)
+    res = local_ba(prob, cam, iters=cfg.ba_iters, refine_iters=2,
+                   huber_delta=cfg.huber_thresh)
 
     # write back poses and landmark positions
     lm_pos = landmark_world_positions(

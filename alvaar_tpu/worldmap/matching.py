@@ -32,7 +32,6 @@ from alvaar_tpu.geom.lie import SE3
 from alvaar_tpu.ops.hamming import hamming_matrix_matmul
 from alvaar_tpu.worldmap.state import MapState, masked_scatter_set
 
-MAX_DESC_DIST_RATIO = 0.2   # reference state.hpp:62
 MAX_PROJ_PX = 2.0           # reference state.hpp:63
 
 
@@ -73,7 +72,7 @@ def match_to_local_map(state: MapState, cam: Camera,
     desc_dist = hamming_matrix_matmul(state.lm_desc,
                                       state.lm_desc[kp_lm])  # [L, K]
 
-    max_desc = MAX_DESC_DIST_RATIO * 256.0
+    max_desc = float(cfg.match_max_hamming)
     pair_ok = (cand[:, None] & kp_young[None, :]
                & (px_dist <= max_px)
                & (overlap < 0.5)
@@ -86,7 +85,7 @@ def match_to_local_map(state: MapState, cam: Camera,
     neg2, idx2 = jax.lax.top_k(-d, 2)                 # [L, 2]
     best, sec = -neg2[:, 0], -neg2[:, 1]
     best_k = idx2[:, 0]
-    lm_match_ok = (best <= max_desc) & ~(0.9 * sec < best)
+    lm_match_ok = (best <= max_desc) & ~(cfg.match_nndr * sec < best)
 
     # ---- per-keypoint: keep the lowest-distance landmark ----
     lm_best = jnp.where(lm_match_ok, best, BIG)
@@ -110,9 +109,11 @@ def match_to_local_map(state: MapState, cam: Camera,
         state.kf_obs_valid[:, k_idx]                   # [W, K]
     obs_y = obs_y & same.T
     pos_old = state.lm_pos[old_lm]                     # [K, 3]
-    # project old lm into every kf: [W, K, 2]
+    # project old lm into every kf: [W, K, 2].  Undistorted projection —
+    # kf_obs_px stores undistorted pixels (keyframe.py writes kp_und), so
+    # a distorted projection would bias the gate for distorted cameras.
     proj_kw = jax.vmap(
-        lambda q, t: cam.project_dist(SE3(q, t).apply(pos_old))
+        lambda q, t: cam.project(SE3(q, t).apply(pos_old))
     )(state.kf_pose.q, state.kf_pose.t)                # [W, K, 2]
     co_d = jnp.linalg.norm(proj_kw - state.kf_obs_px[:, k_idx], axis=-1)
     n_co = jnp.sum(obs_y.T, axis=0)                    # [K]
