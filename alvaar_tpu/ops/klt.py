@@ -185,12 +185,17 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
         frozen = frozen0
         d = d0c
         # unrolled GN: pure VPU work; unrolling lets XLA fuse across
-        # iterations (loop-carried scan adds per-iteration overhead)
+        # iterations (loop-carried scan adds per-iteration overhead).
+        # The bilinear volume read is written as broadcast-multiply-reduce,
+        # NOT einsum/dot_general: a batched [2,cr,cr]x[cr] contraction with
+        # batch N would pad each tiny matmul to MXU tiles and dominate the
+        # whole tracker, especially under stream-batch vmap.
         for _ in range(iters):
-            wx = _tent_weights(d[:, 0] + R, cr)
+            wx = _tent_weights(d[:, 0] + R, cr)        # [N, cr]
             wy = _tent_weights(d[:, 1] + R, cr)
-            b = jnp.einsum("ny,nkyx,nx->nk", wy, C2, wx,
-                           precision=jax.lax.Precision.HIGHEST) - c0
+            bl = jnp.sum(C2 * wy[:, None, :, None] * wx[:, None, None, :],
+                         axis=(2, 3))                  # [N, 2]
+            b = bl - c0
             sx = -(i00 * b[:, 0] + i01 * b[:, 1])
             sy = -(i01 * b[:, 0] + i11 * b[:, 1])
             step = jnp.stack([sx, sy], axis=-1)
@@ -198,15 +203,16 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
             d = jnp.clip(d + step, -lim, lim)
             frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
 
-        # ---- final window, L1 error (banded tent shift-matmul, once) ----
+        # ---- final window, L1 error (banded tent blend, once) ----
         rows = jnp.arange(win, dtype=d.dtype)
         py = (d[:, 1:2] + (R + r)) + rows[None] - r    # [N, 9] target rows
         px = (d[:, 0:1] + (R + r)) + rows[None] - r
         iy = jnp.arange(j_size, dtype=d.dtype)
         Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
         Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
-        Wnd = jnp.einsum("nrp,npq,ncq->nrc", Sy, Jp, Sx,
-                         precision=jax.lax.Precision.HIGHEST)
+        # rows blend then cols blend (broadcast-reduce, no batched matmul)
+        Wr = jnp.sum(Sy[:, :, :, None] * Jp[:, None, :, :], axis=2)  # [N,9,jq]
+        Wnd = jnp.sum(Wr[:, :, None, :] * Sx[:, None, :, :], axis=3)  # [N,9,9]
         err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
         at_edge = jnp.any(jnp.abs(d) >= lim - 1e-3, axis=-1)
 
