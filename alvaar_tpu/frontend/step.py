@@ -73,9 +73,10 @@ def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
     in_img = cam.in_roi(proj, cfg.width, cfg.height, border=1)
     prior_ok = is3d & in_img
 
+    from alvaar_tpu.ops.klt import pallas_available
     klt_args = dict(win=cfg.klt_window, iters=cfg.klt_iters, eps=cfg.klt_eps,
                     err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist,
-                    use_pallas=cfg.use_pallas)
+                    use_pallas=cfg.use_pallas and pallas_available())
     # motion-prior stage: the prior is accurate to a few px, so a small
     # search volume suffices (stage 2 re-tries failures at full radius)
     s1 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, proj, prior_ok,

@@ -161,6 +161,29 @@ def extract_patches(img, base_xy, size: int, lo: int):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def extract_patches_pl(img, base_xy, size: int, lo: int):
+    """Point-LAST patch extraction: returns [size, size, N] with
+    patch[p, q, n] = img[base_y_n + p - lo, base_x_n + q - lo].
+
+    Same MXU one-hot formulation as ``extract_patches``, but the column
+    contraction emits points on the minor (lane) axis so downstream
+    elementwise work tiles as [size, size→8·k sublanes, N→128·k lanes]
+    instead of padding every tiny [size, size] tile to (8, 128) — the
+    point-major layout wastes >90% of the VPU for size ≲ 24."""
+    h, w = img.shape
+    n = base_xy.shape[0]
+    s = jnp.arange(size, dtype=jnp.int32)
+    ys = (base_xy[:, 1] - lo)[:, None] + s[None, :]        # [N, size]
+    xs = (base_xy[:, 0] - lo)[:, None] + s[None, :]
+    oy = (ys[:, :, None] == jnp.arange(h, dtype=jnp.int32)).astype(img.dtype)
+    ox = (xs[:, :, None] == jnp.arange(w, dtype=jnp.int32)).astype(img.dtype)
+    rows = jax.lax.dot(oy.reshape(n * size, h), img,
+                       precision=jax.lax.Precision.HIGHEST)
+    rows = rows.reshape(n, size, w)
+    return jnp.einsum("npw,nqw->pqn", rows, ox,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def extract_patches_slice(img, base_xy, size: int, lo: int):
     """Reference implementation via vmapped dynamic_slice (kept for tests
     and as a fallback comparison point)."""

@@ -58,46 +58,60 @@ BACKWARD_R = 2      # radius for the backward verification pass: a good
                     # rejected — so a tiny volume is sufficient AND cheap
 
 
-from alvaar_tpu.ops.image import extract_patches as _extract_patches
+from alvaar_tpu.ops.image import extract_patches_pl as _extract_patches_pl
 
 
 def _frac_blend(patch, fx, fy, out: int):
-    """Bilinear blend of 4 integer-shifted [out, out] views of ``patch``
-    (static slices): result[p] = patch[p + (fy, fx)] for fractional f."""
-    p00 = patch[:, :out, :out]
-    p01 = patch[:, :out, 1:out + 1]
-    p10 = patch[:, 1:out + 1, :out]
-    p11 = patch[:, 1:out + 1, 1:out + 1]
-    fx = fx[:, None, None]
-    fy = fy[:, None, None]
+    """Bilinear blend of 4 integer-shifted [out, out, N] views of ``patch``
+    (static slices): result[p, q, n] = patch[p + fy_n, q + fx_n, n]."""
+    p00 = patch[:out, :out, :]
+    p01 = patch[:out, 1:out + 1, :]
+    p10 = patch[1:out + 1, :out, :]
+    p11 = patch[1:out + 1, 1:out + 1, :]
+    fx = fx[None, None, :]
+    fy = fy[None, None, :]
     return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
             + p10 * fy * (1 - fx) + p11 * fy * fx)
 
 
 def _correlate(J, K, win: int, cr: int):
-    """C[n, dy, dx] = Σ_w J[n, (dy,dx) + w + R'] K[n, w] — static unfold:
+    """C[dy, dx, n] = Σ_w J[(dy,dx) + w + R', n] K[w, n] — static unfold:
     one shifted multiply-add per window tap, no gathers.
 
-    J: [N, S, S] with S = cr + win - 1;  K: [N, win, win];
-    returns [N, cr, cr]."""
-    N = J.shape[0]
-    C = jnp.zeros((N, cr, cr), J.dtype)
+    J: [S, S, N] with S = cr + win - 1;  K: [win, win, N];
+    returns [cr, cr, N].  Point-LAST so the N axis rides the 128 lanes."""
+    n = J.shape[-1]
+    C = jnp.zeros((cr, cr, n), J.dtype)
     for wy in range(win):
         for wx in range(win):
-            C = C + J[:, wy:wy + cr, wx:wx + cr] * K[:, wy:wy + 1, wx:wx + 1]
+            C = C + J[wy:wy + cr, wx:wx + cr, :] * K[wy:wy + 1, wx:wx + 1, :]
     return C
 
 
 def _tent_weights(d, size: int):
-    """One-hot bilinear ("tent") weights: w[n, i] = max(0, 1 - |i - d_n|)."""
-    i = jnp.arange(size, dtype=d.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(i[None, :] - d[:, None]))
+    """Point-last bilinear ("tent") weights:
+    w[i, n] = max(0, 1 - |i - d_n|), shape [size, N]."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).astype(d.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(i - d[None, :]))
+
+
+def pallas_available() -> bool:
+    """True when the default backend can compile Mosaic kernels (a real
+    TPU).  The fused kernel needs explicit point-minor layouts that XLA's
+    layout assignment refuses to produce, and beats the XLA path ~4x at
+    stream-batch 16 (28.9 -> 6.9 ms) with bitwise-equivalent status
+    decisions; CPU runs use the XLA path (or interpret mode in tests)."""
+    try:
+        d = jax.devices()[0]
+        return ("tpu" in d.platform.lower()
+                or "TPU" in getattr(d, "device_kind", ""))
+    except Exception:
+        return False
 
 
 def _use_pallas_default() -> bool:
-    """The fused Pallas kernel currently matches (not beats) the XLA
-    correlation-volume path — extraction dominates both — so the default
-    stays XLA; flip per-call with use_pallas=True (TPU only)."""
+    """Callers that don't say (use_pallas=None) get the XLA path; the
+    production step routes SlamConfig.use_pallas & pallas_available()."""
     return False
 
 
@@ -116,22 +130,63 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     j_size = cr + win - 1
 
     # ---- template window + gradients from the previous image ----
+    # Everything below is point-LAST ([..., N]) so the point axis rides
+    # the 128-lane dimension; point-major [N, s, s] would pad every tiny
+    # [s, s] tile to (8, 128) and waste >90% of the VPU.
     base_t = jnp.floor(pts_prev).astype(jnp.int32)
     base_t = jnp.stack(
         [jnp.clip(base_t[:, 0], r + 2, w - r - 4),
          jnp.clip(base_t[:, 1], r + 2, h - r - 4)], axis=1)
     ft = pts_prev - base_t.astype(pts_prev.dtype)      # in [0,1) when unclipped
     ft = jnp.clip(ft, 0.0, 1.0)
-    tp = _extract_patches(img_prev, base_t, tpl_size, r + 1)  # [-5..6]
+    tp = _extract_patches_pl(img_prev, base_t, tpl_size, r + 1)  # [12,12,N]
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
+    if use_pallas:
+        # ---- fused kernel: blend + Hessian + volumes + GN + error ----
+        from alvaar_tpu.ops.pallas.lk_kernel import lk_level_pallas
+
+        base_j = jnp.floor(guess + 0.5).astype(jnp.int32)
+        margin = R + r + 1
+        base_j = jnp.stack(
+            [jnp.clip(base_j[:, 0], margin, w - margin - 1),
+             jnp.clip(base_j[:, 1], margin, h - margin - 1)], axis=1)
+        Jp = _extract_patches_pl(img_cur, base_j, j_size, margin - 1)
+        d0 = guess - base_j.astype(guess.dtype)
+        lim = R - 1.001
+        dx0 = jnp.clip(d0[:, 0], -lim, lim)
+        dy0 = jnp.clip(d0[:, 1], -lim, lim)
+        n = pts_prev.shape[0]
+        zeros = jnp.zeros((n,), jnp.float32)
+        cons = jnp.stack([ft[:, 0], ft[:, 1], d0[:, 0], d0[:, 1],
+                          (~valid).astype(jnp.float32), zeros, zeros, zeros],
+                         axis=0)
+        out = lk_level_pallas(tp, Jp, cons, win=win, search_r=R,
+                              iters=iters, eps=eps, min_eig=min_eig)
+        dx, dy, err = out[0], out[1], out[2]
+        at_edge = out[3] > 0.5
+        trackable = out[4] > 0.5
+
+        xy = base_j.astype(dx.dtype) + jnp.stack([dx, dy], axis=-1)
+        rb = float(r + 1)
+        inb = ((xy[:, 0] >= rb) & (xy[:, 0] < w - rb)
+               & (xy[:, 1] >= rb) & (xy[:, 1] < h - rb))
+        started_edge = ((jnp.abs(dx0) >= lim - 1e-3)
+                        | (jnp.abs(dy0) >= lim - 1e-3))
+        ok = valid & trackable & inb & (~at_edge | started_edge)
+        return xy, ok, err
+
     # blended 11x11 window centered on the point: covers w ∈ [-5..5]
     t11 = _frac_blend(tp, ft[:, 0], ft[:, 1], win + 2)
-    T = t11[:, 1:win + 1, 1:win + 1]                   # 9x9
-    gx = 0.5 * (t11[:, 1:win + 1, 2:win + 2] - t11[:, 1:win + 1, 0:win])
-    gy = 0.5 * (t11[:, 2:win + 2, 1:win + 1] - t11[:, 0:win, 1:win + 1])
+    T = t11[1:win + 1, 1:win + 1, :]                   # [9, 9, N]
+    gx = 0.5 * (t11[1:win + 1, 2:win + 2, :] - t11[1:win + 1, 0:win, :])
+    gy = 0.5 * (t11[2:win + 2, 1:win + 1, :] - t11[0:win, 1:win + 1, :])
 
-    gxx = jnp.sum(gx * gx, axis=(1, 2))
-    gxy = jnp.sum(gx * gy, axis=(1, 2))
-    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    gxx = jnp.sum(gx * gx, axis=(0, 1))
+    gxy = jnp.sum(gx * gy, axis=(0, 1))
+    gyy = jnp.sum(gy * gy, axis=(0, 1))
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
@@ -142,8 +197,8 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     i11 = gxx / det_safe
 
     # constant template terms of b(d)
-    cx0 = jnp.sum(T * gx, axis=(1, 2))
-    cy0 = jnp.sum(T * gy, axis=(1, 2))
+    cx0 = jnp.sum(T * gx, axis=(0, 1))                 # [N]
+    cy0 = jnp.sum(T * gy, axis=(0, 1))
 
     # ---- current-image search patch + correlation volumes ----
     base_j = jnp.floor(guess + 0.5).astype(jnp.int32)
@@ -151,78 +206,61 @@ def _lk_level(img_prev, img_cur, pts_prev, guess, valid, *,
     base_j = jnp.stack(
         [jnp.clip(base_j[:, 0], margin, w - margin - 1),
          jnp.clip(base_j[:, 1], margin, h - margin - 1)], axis=1)
-    Jp = _extract_patches(img_cur, base_j, j_size, margin - 1)
+    Jp = _extract_patches_pl(img_cur, base_j, j_size, margin - 1)  # [S,S,N]
 
     # ---- GN iterations on the volumes (gather-free) ----
     d0 = guess - base_j.astype(guess.dtype)            # start displacement
     lim = R - 1.001
     frozen0 = ~(valid & trackable)
-    d0c = jnp.clip(d0, -lim, lim)
+    dx0 = jnp.clip(d0[:, 0], -lim, lim)
+    dy0 = jnp.clip(d0[:, 1], -lim, lim)
 
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
+    C_gx = _correlate(Jp, gx, win, cr)             # [cr, cr, N]
+    C_gy = _correlate(Jp, gy, win, cr)
 
-    if use_pallas:
-        # fused single-kernel path: correlation + iterations + final error
-        from alvaar_tpu.ops.pallas.lk_kernel import lk_iterate_pallas
-        cons = jnp.stack([cx0, cy0, i00, i01, i11,
-                          d0[:, 0], d0[:, 1],
-                          frozen0.astype(jnp.float32)], axis=0)
-        out = lk_iterate_pallas(
-            T.transpose(1, 2, 0), gx.transpose(1, 2, 0),
-            gy.transpose(1, 2, 0), Jp.transpose(1, 2, 0), cons,
-            win=win, search_r=R, iters=iters, eps=eps)
-        d = jnp.stack([out[0], out[1]], axis=-1)
-        err = out[2]
-        at_edge = out[3] > 0.5
-    else:
-        C_gx = _correlate(Jp, gx, win, cr)
-        C_gy = _correlate(Jp, gy, win, cr)
-        # stacked volumes: one contraction per iteration serves both axes
-        C2 = jnp.stack([C_gx, C_gy], axis=1)           # [N, 2, cr, cr]
-        c0 = jnp.stack([cx0, cy0], axis=-1)            # [N, 2]
+    frozen = frozen0
+    dx, dy = dx0, dy0
+    # unrolled GN: pure VPU work; unrolling lets XLA fuse across
+    # iterations (loop-carried scan adds per-iteration overhead)
+    for _ in range(iters):
+        wx = _tent_weights(dx + R, cr)             # [cr, N]
+        wy = _tent_weights(dy + R, cr)
+        tx = jnp.sum(wy[:, None, :] * C_gx, axis=0)   # [cr, N]
+        ty = jnp.sum(wy[:, None, :] * C_gy, axis=0)
+        bx = jnp.sum(tx * wx, axis=0) - cx0           # [N]
+        by = jnp.sum(ty * wx, axis=0) - cy0
+        sx = -(i00 * bx + i01 * by)
+        sy = -(i01 * bx + i11 * by)
+        sx = jnp.where(frozen, 0.0, sx)
+        sy = jnp.where(frozen, 0.0, sy)
+        dx = jnp.clip(dx + sx, -lim, lim)
+        dy = jnp.clip(dy + sy, -lim, lim)
+        frozen = frozen | (sx * sx + sy * sy < eps * eps)
 
-        frozen = frozen0
-        d = d0c
-        # unrolled GN: pure VPU work; unrolling lets XLA fuse across
-        # iterations (loop-carried scan adds per-iteration overhead).
-        # The bilinear volume read is written as broadcast-multiply-reduce,
-        # NOT einsum/dot_general: a batched [2,cr,cr]x[cr] contraction with
-        # batch N would pad each tiny matmul to MXU tiles and dominate the
-        # whole tracker, especially under stream-batch vmap.
-        for _ in range(iters):
-            wx = _tent_weights(d[:, 0] + R, cr)        # [N, cr]
-            wy = _tent_weights(d[:, 1] + R, cr)
-            bl = jnp.sum(C2 * wy[:, None, :, None] * wx[:, None, None, :],
-                         axis=(2, 3))                  # [N, 2]
-            b = bl - c0
-            sx = -(i00 * b[:, 0] + i01 * b[:, 1])
-            sy = -(i01 * b[:, 0] + i11 * b[:, 1])
-            step = jnp.stack([sx, sy], axis=-1)
-            step = jnp.where(frozen[:, None], 0.0, step)
-            d = jnp.clip(d + step, -lim, lim)
-            frozen = frozen | (jnp.sum(step * step, axis=-1) < eps * eps)
+    # ---- final window, L1 error (tent blend, once) ----
+    iS = jax.lax.broadcasted_iota(
+        jnp.int32, (j_size, 1), 0).astype(dx.dtype)
+    err_acc = jnp.zeros(dx.shape, dx.dtype)
+    # window row r_i sits at patch row dy + R + r_i (banded blend)
+    for r_i in range(win):
+        wyr = jnp.maximum(0.0, 1.0 - jnp.abs(
+            iS - (dy + R + r_i)[None, :]))         # [S, N]
+        t1 = jnp.sum(Jp * wyr[:, None, :], axis=0)  # [S, N]
+        for c_i in range(win):
+            wxc = jnp.maximum(0.0, 1.0 - jnp.abs(
+                iS - (dx + R + c_i)[None, :]))
+            w_val = jnp.sum(t1 * wxc, axis=0)      # [N]
+            err_acc = err_acc + jnp.abs(w_val - T[r_i, c_i, :])
+    err = err_acc / float(win * win)
+    at_edge = (jnp.abs(dx) >= lim - 1e-3) | (jnp.abs(dy) >= lim - 1e-3)
 
-        # ---- final window, L1 error (banded tent blend, once) ----
-        rows = jnp.arange(win, dtype=d.dtype)
-        py = (d[:, 1:2] + (R + r)) + rows[None] - r    # [N, 9] target rows
-        px = (d[:, 0:1] + (R + r)) + rows[None] - r
-        iy = jnp.arange(j_size, dtype=d.dtype)
-        Sy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - py[:, :, None]))
-        Sx = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, None, :] - px[:, :, None]))
-        # rows blend then cols blend (broadcast-reduce, no batched matmul)
-        Wr = jnp.sum(Sy[:, :, :, None] * Jp[:, None, :, :], axis=2)  # [N,9,jq]
-        Wnd = jnp.sum(Wr[:, :, None, :] * Sx[:, None, :, :], axis=3)  # [N,9,9]
-        err = jnp.mean(jnp.abs(Wnd - T), axis=(1, 2))
-        at_edge = jnp.any(jnp.abs(d) >= lim - 1e-3, axis=-1)
-
-    xy = base_j.astype(d.dtype) + d
+    xy = base_j.astype(dx.dtype) + jnp.stack([dx, dy], axis=-1)
     rb = float(r + 1)
     inb = ((xy[:, 0] >= rb) & (xy[:, 0] < w - rb)
            & (xy[:, 1] >= rb) & (xy[:, 1] < h - rb))
     # a point pinned to the volume edge did not converge there
     # ... unless it started there because the prior was already at the edge
-    started_edge = jnp.any(jnp.abs(d0c) >= lim - 1e-3, axis=-1)
+    started_edge = (jnp.abs(dx0) >= lim - 1e-3) | (jnp.abs(dy0) >= lim - 1e-3)
     ok = valid & trackable & inb & (~at_edge | started_edge)
     return xy, ok, err
 

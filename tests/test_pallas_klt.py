@@ -20,13 +20,13 @@ def test_pallas_kernel_matches_xla(rng, monkeypatch):
     v = jnp.ones(32, bool)
 
     # force interpret mode so the kernel runs on CPU
-    orig = lk_kernel.lk_iterate_pallas
+    orig = lk_kernel.lk_level_pallas
 
     def interp(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
-    monkeypatch.setattr(lk_kernel, "lk_iterate_pallas", interp)
+    monkeypatch.setattr(lk_kernel, "lk_level_pallas", interp)
 
     xy_p, ok_p, err_p = _lk_level(img0, img1, pts, pts, v, win=9, iters=20,
                                   eps=0.01, use_pallas=True)
