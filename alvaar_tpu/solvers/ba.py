@@ -10,19 +10,40 @@ gauge fixing by holding low-covisibility keyframes constant
 and an L2 re-solve (optimizer.cpp:264-359).
 
 TPU-first design (not a port):
-  * the problem NEVER gets "built" — the observation tables are fixed-shape
-    ``[W, K]`` arrays with validity masks, so the whole solve is one XLA
-    program with zero host round-trips;
-  * inverse-depth landmark blocks are 1-parameter, so H_ll is a diagonal
-    vector and the Schur complement S = H_cc − H_clᵀ D⁻¹ H_cl is two dense
-    matmuls (MXU work) plus a [6W × 6W] solve — W=30 keyframes → 180×180,
-    trivially dense (Ceres needs sparse machinery for this; we don't);
+
+  * the problem NEVER gets "built" — observations are the fixed-shape
+    ``[W, K]`` keyframe tables with validity masks, one XLA program, zero
+    host round-trips;
+
+  * **virtual-landmark re-indexing** kills every scatter: by the stable-
+    slot invariant (worldmap/keyframe.py) a landmark's observations all
+    sit in ONE column k of the [W, K] table, so landmark parameters are
+    re-indexed as (g, k) = (first observing row, column).  Membership is
+    the dense boolean ``E[g, w, k]`` and every segment reduction
+    (H_cl rows, landmark diagonal D, gradients, per-obs broadcast of
+    landmark updates) becomes an einsum over the W axis — a TPU scatter
+    serializes per row and is catastrophic under stream-batch vmap.
+    The solve is therefore independent of the landmark-pool size L; the
+    pool is touched only by O(1) gathers before and one masked scatter
+    after the solve.  (A landmark merged across slots —
+    worldmap/matching.py — briefly owns observations in two columns and
+    is optimized as two split parameters; copies share the anchor and
+    reconverge at the next keyframe's re-anchoring.)
+
+  * inverse-depth blocks are 1-parameter, so H_ll is a vector and the
+    Schur complement S = H_cc − H_clᵀ D⁻¹ H_cl is one [6W, WK]·[WK, 6W]
+    MXU matmul plus a dense [6W × 6W] solve — W=30 → 180×180 (Ceres
+    needs sparse machinery for this; we don't);
+
   * per-observation Jacobians come from forward-mode autodiff of the
     13-parameter residual (ξ_observer[6], ξ_anchor[6], δλ[1]) at the zero
-    retraction, vmapped over all W·K observation slots;
-  * constant keyframes are handled by masking their rows/columns of S
-    (identity diagonal), not by rebuilding the problem;
-  * accept/reject LM steps are branch-free (jnp.where on the whole state).
+    retraction, vmapped over all W·K observation slots; observer and
+    anchor blocks assemble into full [6W] rows via the anchor one-hot so
+    H_cc is a single self-adjoint matmul;
+
+  * constant keyframes are handled by masking rows/columns of S
+    (identity diagonal), never by rebuilding; accept/reject LM steps are
+    branch-free (jnp.where on the whole state).
 
 Pose convention: window poses are T_cw (world→camera); landmark i lives at
 ``X_w = T_cw[anchor]⁻¹ · ([m_i, 1] / λ_i)`` with m the anchor-frame
@@ -64,6 +85,58 @@ class BAResult(NamedTuple):
     num_obs: jax.Array
 
 
+class _VirtualProblem(NamedTuple):
+    """Scatter-free reformulation over the [W, K] observation grid."""
+    poses: SE3            # [W]
+    kf_valid: jax.Array   # [W]
+    constant: jax.Array   # [W]
+    valid: jax.Array      # [W, K] usable observations
+    px: jax.Array         # [W, K, 2]
+    E: jax.Array          # [W(g), W(w), K] f32 membership: obs (w,k) ∈ vlm (g,k)
+    is_rep: jax.Array     # [W, K] bool — (g, k) is a live virtual landmark
+    lam_v: jax.Array      # [W, K] inverse depth per virtual landmark
+    mxy: jax.Array        # [W, K, 2] per-OBS anchor-frame coords (static)
+    A1hot: jax.Array      # [W, K, W] f32 one-hot of each obs' anchor slot
+    a_const: jax.Array    # [W, K] bool — anchor pose is constant
+    a_valid: jax.Array    # [W, K] bool — anchor slot is a live keyframe
+
+
+def _build_virtual(prob: BAProblem, cam: Camera) -> _VirtualProblem:
+    """One-time gathers + membership structure (outside the LM loop)."""
+    W, K = prob.obs_lm.shape
+    lm = prob.obs_lm                                      # [W, K]
+    valid = (prob.obs_valid & prob.lm_valid[lm]
+             & prob.kf_valid[:, None])                    # [W, K]
+
+    # anchor info per obs (gathered once; static during the solve)
+    a_slot = prob.anchor_kf[lm]                           # [W, K]
+    mxy = prob.anchor_mxy[lm]                             # [W, K, 2]
+    lam_obs = prob.invdepth[lm]                           # [W, K]
+
+    same = (lm[:, None, :] == lm[None, :, :])             # [g, w, k]
+    both = valid[:, None, :] & valid[None, :, :]
+    member = same & both
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (W, W, K), 0)
+    first = jnp.min(jnp.where(member, g_iota, W), axis=0)  # [w, k]
+    is_rep = valid & (first == jax.lax.broadcasted_iota(jnp.int32, (W, K), 0))
+    E = (member & (first[None, :, :]
+                   == g_iota)).astype(prob.obs_px.dtype)   # [g, w, k]
+
+    lam_v = jnp.where(is_rep, lam_obs, 1.0)
+
+    a_idx = jnp.clip(a_slot, 0, W - 1)
+    A1hot = (a_idx[:, :, None]
+             == jnp.arange(W)[None, None, :]).astype(prob.obs_px.dtype)
+    a_const = prob.constant[a_idx]
+    a_valid = prob.kf_valid[a_idx] & (a_slot >= 0)
+    valid = valid & a_valid
+
+    return _VirtualProblem(
+        poses=prob.poses, kf_valid=prob.kf_valid, constant=prob.constant,
+        valid=valid, px=prob.obs_px, E=E, is_rep=is_rep, lam_v=lam_v,
+        mxy=mxy, A1hot=A1hot, a_const=a_const, a_valid=a_valid)
+
+
 def _obs_residual(params13, q_o, t_o, q_a, t_a, mxy, lam, px, fx, fy, cx, cy):
     """Reprojection residual of one observation at a 13-dim retraction.
 
@@ -84,24 +157,24 @@ def _obs_residual(params13, q_o, t_o, q_a, t_a, mxy, lam, px, fx, fy, cx, cy):
     return jnp.stack([u - px[0], v - px[1]]), z
 
 
-def _residuals_and_jacobians(prob: BAProblem, cam: Camera):
-    """All residuals [O, 2], Jacobians [O, 2, 13], depths [O], flattened
-    over the [W, K] observation table."""
-    W, K = prob.obs_lm.shape
-    O = W * K
-    kf_idx = jnp.repeat(jnp.arange(W), K)           # [O]
-    lm_idx = prob.obs_lm.reshape(O)
-    px = prob.obs_px.reshape(O, 2)
+def _per_obs_inputs(vp: _VirtualProblem, poses: SE3, lam_v):
+    """Per-observation solve inputs, all via dense contractions."""
+    W, K = vp.valid.shape
+    q_o = jnp.broadcast_to(poses.q[:, None, :], (W, K, 4))
+    t_o = jnp.broadcast_to(poses.t[:, None, :], (W, K, 3))
+    q_a = jnp.einsum("wkv,vq->wkq", vp.A1hot, poses.q)
+    t_a = jnp.einsum("wkv,vq->wkq", vp.A1hot, poses.t)
+    lam = jnp.einsum("gwk,gk->wk", vp.E, lam_v)
+    lam = jnp.where(vp.valid, lam, 1.0)
+    return q_o, t_o, q_a, t_a, lam
 
-    q_o = prob.poses.q[kf_idx]
-    t_o = prob.poses.t[kf_idx]
-    a_idx = prob.anchor_kf[lm_idx]
-    q_a = prob.poses.q[a_idx]
-    t_a = prob.poses.t[a_idx]
-    mxy = prob.anchor_mxy[lm_idx]
-    lam = prob.invdepth[lm_idx]
 
-    zero13 = jnp.zeros(13, px.dtype)
+def _residuals_jacobians(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
+                         with_jac: bool):
+    """Residuals [W, K, 2] (+ Jacobians [W, K, 2, 13], depths [W, K])."""
+    W, K = vp.valid.shape
+    q_o, t_o, q_a, t_a, lam = _per_obs_inputs(vp, poses, lam_v)
+    zero13 = jnp.zeros(13, vp.px.dtype)
 
     def r_only(p, *args):
         return _obs_residual(p, *args)[0]
@@ -110,15 +183,19 @@ def _residuals_and_jacobians(prob: BAProblem, cam: Camera):
         args = (q_o, t_o, q_a, t_a, mxy, lam, px,
                 cam.fx, cam.fy, cam.cx, cam.cy)
         r, z = _obs_residual(zero13, *args)
+        if not with_jac:
+            return r, z
         J = jax.jacfwd(r_only)(zero13, *args)
         return r, J, z
 
-    r, J, z = jax.vmap(one)(q_o, t_o, q_a, t_a, mxy, lam, px)
-
-    valid = (prob.obs_valid.reshape(O)
-             & prob.lm_valid[lm_idx]
-             & prob.kf_valid[kf_idx])
-    return r, J, z, valid, kf_idx, lm_idx, a_idx
+    flat = lambda x: x.reshape((W * K,) + x.shape[2:])
+    out = jax.vmap(one)(flat(q_o), flat(t_o), flat(q_a), flat(t_a),
+                        flat(vp.mxy), flat(lam), flat(vp.px))
+    if not with_jac:
+        r, z = out
+        return r.reshape(W, K, 2), None, z.reshape(W, K)
+    r, J, z = out
+    return r.reshape(W, K, 2), J.reshape(W, K, 2, 13), z.reshape(W, K)
 
 
 def _huber_w(r2, delta):
@@ -131,76 +208,72 @@ def _huber_rho(r2, delta):
     return jnp.where(rn <= delta, r2, 2 * delta * rn - delta * delta)
 
 
-def _build_and_solve(prob: BAProblem, cam: Camera, huber_delta, lam_lm):
-    """One LM linearization: build the Schur system, solve, return updates.
+def _build_and_solve(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
+                     huber_delta, lam_lm):
+    """One LM linearization: dense Schur build + solve, scatter-free.
 
-    Returns (delta_pose [W, 6], delta_lm [L], cost, r2_per_obs, valid_obs).
+    Returns (delta_pose [W, 6], delta_lam_v [W, K], cost).
     """
-    W = prob.obs_lm.shape[0]
-    L = prob.invdepth.shape[0]
-    r, J, z, valid, kf_idx, lm_idx, a_idx = _residuals_and_jacobians(prob, cam)
+    W, K = vp.valid.shape
+    C = 6 * W
+    r, J, z = _residuals_jacobians(vp, poses, lam_v, cam, with_jac=True)
 
-    r2 = jnp.sum(r * r, axis=-1)
-    w = jnp.where(valid, _huber_w(r2, huber_delta), 0.0)
-    cost = jnp.sum(jnp.where(valid, _huber_rho(r2, huber_delta), 0.0))
+    r2 = jnp.sum(r * r, axis=-1)                          # [W, K]
+    w = jnp.where(vp.valid, _huber_w(r2, huber_delta), 0.0)
+    cost = jnp.sum(jnp.where(vp.valid, _huber_rho(r2, huber_delta), 0.0))
 
-    J_o = J[:, :, :6]                     # observer pose block
-    J_a = J[:, :, 6:12]                   # anchor pose block
-    J_l = J[:, :, 12]                     # landmark block [O, 2]
+    J_o = J[:, :, :, :6]                                  # [W, K, 2, 6]
+    J_a = J[:, :, :, 6:12]
+    J_l = J[:, :, :, 12]                                  # [W, K, 2]
 
-    # anchor pose of a landmark may be constant → zero its Jacobian;
-    # same for observer (gauge fixing, reference optimizer.cpp:235-247)
-    const_o = prob.constant[kf_idx]
-    const_a = prob.constant[a_idx]
-    J_o = jnp.where(const_o[:, None, None], 0.0, J_o)
-    J_a = jnp.where(const_a[:, None, None], 0.0, J_a)
+    # gauge fixing: zero constant blocks (reference optimizer.cpp:235-247)
+    J_o = jnp.where(vp.constant[:, None, None, None], 0.0, J_o)
+    J_a = jnp.where(vp.a_const[:, :, None, None], 0.0, J_a)
 
-    wJ_o = J_o * w[:, None, None]
-    wJ_a = J_a * w[:, None, None]
+    # full camera-row Jacobian [W, K, 2, W, 6]: observer block at its own
+    # row w (identity placement), anchor block via the anchor one-hot
+    eye_w = jnp.eye(W, dtype=J.dtype)                     # [W, W]
+    Jfull = (eye_w[:, None, None, :, None] * J_o[:, :, :, None, :]
+             + vp.A1hot[:, :, None, :, None] * J_a[:, :, :, None, :])
+    Jfull = Jfull.reshape(W, K, 2, C)
+    wJfull = Jfull * w[:, :, None, None]
 
-    # --- camera-camera block [W, W, 6, 6] ---
-    H_cc = jnp.zeros((W, W, 6, 6), r.dtype)
-    blk_oo = jnp.einsum("oki,okj->oij", wJ_o, J_o)
-    blk_oa = jnp.einsum("oki,okj->oij", wJ_o, J_a)
-    blk_aa = jnp.einsum("oki,okj->oij", wJ_a, J_a)
-    H_cc = H_cc.at[kf_idx, kf_idx].add(blk_oo)
-    H_cc = H_cc.at[kf_idx, a_idx].add(blk_oa)
-    H_cc = H_cc.at[a_idx, kf_idx].add(jnp.swapaxes(blk_oa, -1, -2))
-    H_cc = H_cc.at[a_idx, a_idx].add(blk_aa)
+    # --- camera-camera block: ONE self-adjoint MXU matmul ---
+    Jf2 = Jfull.reshape(W * K * 2, C)
+    wJf2 = wJfull.reshape(W * K * 2, C)
+    H_cc = jax.lax.dot(wJf2.T, Jf2,
+                       precision=jax.lax.Precision.HIGHEST)  # [C, C]
+    g_c = jnp.einsum("wkrc,wkr->c", wJfull, r,
+                     precision=jax.lax.Precision.HIGHEST)
 
-    # --- camera-landmark block [L, W, 6] and landmark diagonal [L] ---
-    H_cl = jnp.zeros((L, W, 6), r.dtype)
-    v_lo = jnp.einsum("ok,oki->oi", J_l * w[:, None], J_o)
-    v_la = jnp.einsum("ok,oki->oi", J_l * w[:, None], J_a)
-    H_cl = H_cl.at[lm_idx, kf_idx].add(v_lo)
-    H_cl = H_cl.at[lm_idx, a_idx].add(v_la)
-    D = jnp.zeros((L,), r.dtype).at[lm_idx].add(
-        w * jnp.sum(J_l * J_l, axis=-1))
-
-    # --- gradients ---
-    g_c = jnp.zeros((W, 6), r.dtype)
-    g_c = g_c.at[kf_idx].add(jnp.einsum("oki,ok->oi", wJ_o, r))
-    g_c = g_c.at[a_idx].add(jnp.einsum("oki,ok->oi", wJ_a, r))
-    g_l = jnp.zeros((L,), r.dtype).at[lm_idx].add(
-        w * jnp.sum(J_l * r, axis=-1))
+    # --- landmark blocks over virtual landmarks (g, k) ---
+    wJl = J_l * w[:, :, None]                             # [W, K, 2]
+    v_cl = jnp.einsum("wkr,wkrc->wkc", wJl, Jfull,
+                      precision=jax.lax.Precision.HIGHEST)  # [W, K, C]
+    H_cl = jnp.einsum("gwk,wkc->gkc", vp.E, v_cl,
+                      precision=jax.lax.Precision.HIGHEST)  # [g, K, C]
+    D = jnp.einsum("gwk,wk->gk", vp.E,
+                   w * jnp.sum(J_l * J_l, axis=-1))       # [g, K]
+    g_l = jnp.einsum("gwk,wk->gk", vp.E,
+                     jnp.sum(wJl * r, axis=-1))           # [g, K]
 
     # --- LM damping ---
-    Hcc_flat = H_cc.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-    diag = jnp.diagonal(Hcc_flat)
-    Hcc_flat = Hcc_flat + jnp.diag(lam_lm * diag.clip(1e-8))
+    diag = jnp.diagonal(H_cc)
+    H_cc = H_cc + jnp.diag(lam_lm * diag.clip(1e-8))
     D_damped = D * (1.0 + lam_lm)
 
-    # --- Schur complement over landmarks ---
-    lm_active = prob.lm_valid & (D > 1e-12)
+    # --- Schur complement over virtual landmarks ---
+    lm_active = vp.is_rep & (D > 1e-12)
     D_safe = jnp.where(lm_active, D_damped, 1.0)
-    Hcl_flat = H_cl.reshape(L, 6 * W)
-    Hcl_eff = jnp.where(lm_active[:, None], Hcl_flat, 0.0)
-    S = Hcc_flat - Hcl_eff.T @ (Hcl_eff / D_safe[:, None])
-    g_s = g_c.reshape(6 * W) - Hcl_eff.T @ (
-        jnp.where(lm_active, g_l, 0.0) / D_safe)
+    Hcl_flat = jnp.where(lm_active[:, :, None], H_cl, 0.0).reshape(W * K, C)
+    D_flat = D_safe.reshape(W * K)
+    S = H_cc - jax.lax.dot(Hcl_flat.T, Hcl_flat / D_flat[:, None],
+                           precision=jax.lax.Precision.HIGHEST)
+    g_lm = jnp.where(lm_active, g_l, 0.0)
+    g_s = g_c - Hcl_flat.T @ (g_lm.reshape(W * K) / D_flat)
 
     # mask constant/dead keyframes: identity rows/cols, zero gradient
-    free = (prob.kf_valid & ~prob.constant)
+    free = (vp.kf_valid & ~vp.constant)
     free6 = jnp.repeat(free, 6)
     S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
     S = S + jnp.diag(jnp.where(free6, 1e-9, 1.0))
@@ -209,17 +282,17 @@ def _build_and_solve(prob: BAProblem, cam: Camera, huber_delta, lam_lm):
     delta_c = -jnp.linalg.solve(S, g_s)
     delta_c = jnp.where(free6, delta_c, 0.0)
 
-    # back-substitute landmarks
-    delta_l = -(jnp.where(lm_active, g_l, 0.0)
-                + Hcl_eff @ delta_c) / D_safe
+    # back-substitute virtual landmarks
+    delta_l = -(g_lm + (Hcl_flat @ delta_c).reshape(W, K)) / D_safe
     delta_l = jnp.where(lm_active, delta_l, 0.0)
-    return delta_c.reshape(W, 6), delta_l, cost, r2, valid
+    return delta_c.reshape(W, 6), delta_l, cost
 
 
-def _total_cost(prob: BAProblem, cam: Camera, huber_delta):
-    r, J, z, valid, *_ = _residuals_and_jacobians(prob, cam)
+def _cost_only(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
+               huber_delta):
+    r, _, _ = _residuals_jacobians(vp, poses, lam_v, cam, with_jac=False)
     r2 = jnp.sum(r * r, axis=-1)
-    return jnp.sum(jnp.where(valid, _huber_rho(r2, huber_delta), 0.0))
+    return jnp.sum(jnp.where(vp.valid, _huber_rho(r2, huber_delta), 0.0))
 
 
 @partial(jax.jit, static_argnames=("iters", "refine_iters"))
@@ -243,61 +316,66 @@ def local_ba(prob: BAProblem, cam: Camera, *, iters: int = 5,
 
 def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
                    huber_delta, chi2_thresh) -> BAResult:
+    W, K = prob.obs_lm.shape
 
-    def lm_phase(prob, obs_mask, delta_huber, n_iters):
-        p = prob._replace(obs_valid=obs_mask)
-
+    def lm_phase(vp: _VirtualProblem, delta_huber, n_iters, poses, lam_v):
         def step(carry, _):
-            poses, invd, lam_lm, cost = carry
-            cur = p._replace(poses=poses, invdepth=invd)
-            dc, dl, _, _, _ = _build_and_solve(cur, cam, delta_huber, lam_lm)
+            poses, lam_v, lam_lm, cost = carry
+            dc, dl, _ = _build_and_solve(vp, poses, lam_v, cam,
+                                         delta_huber, lam_lm)
             new_poses = SE3.exp(dc).compose(SE3(poses.q, poses.t)).normalize()
-            new_invd = invd + dl
-            new_cost = _total_cost(
-                p._replace(poses=new_poses, invdepth=new_invd), cam,
-                delta_huber)
+            new_lam_v = lam_v + dl
+            new_cost = _cost_only(vp, new_poses, new_lam_v, cam, delta_huber)
             accept = new_cost < cost
             poses = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
                                  new_poses, poses)
-            invd = jnp.where(accept, new_invd, invd)
+            lam_v = jnp.where(accept, new_lam_v, lam_v)
             cost = jnp.where(accept, new_cost, cost)
             lam_lm = jnp.where(accept, lam_lm * 0.33, lam_lm * 10.0)
             lam_lm = lam_lm.clip(1e-8, 1e8)
-            return (poses, invd, lam_lm, cost), None
+            return (poses, lam_v, lam_lm, cost), None
 
-        cost0 = _total_cost(p, cam, delta_huber)
-        (poses, invd, _, cost), _ = jax.lax.scan(
-            step,
-            (p.poses, p.invdepth, jnp.asarray(1e-4, p.invdepth.dtype), cost0),
+        cost0 = _cost_only(vp, poses, lam_v, cam, delta_huber)
+        (poses, lam_v, _, cost), _ = jax.lax.scan(
+            step, (poses, lam_v, jnp.asarray(1e-4, lam_v.dtype), cost0),
             None, length=n_iters)
-        return poses, invd, cost
+        return poses, lam_v, cost
+
+    vp = _build_virtual(prob, cam)
 
     # phase 1: Huber
-    poses1, invd1, _ = lm_phase(prob, prob.obs_valid, huber_delta, iters)
+    poses1, lam_v1, _ = lm_phase(vp, huber_delta, iters,
+                                 prob.poses, vp.lam_v)
 
     # prune: chi2 or non-positive depth in the observer frame
-    p1 = prob._replace(poses=poses1, invdepth=invd1)
-    r, J, z, valid, kf_idx, lm_idx, a_idx = _residuals_and_jacobians(p1, cam)
+    r, _, z = _residuals_jacobians(vp, poses1, lam_v1, cam, with_jac=False)
     r2 = jnp.sum(r * r, axis=-1)
-    W, K = prob.obs_lm.shape
-    keep = valid & (r2 <= chi2_thresh) & (z > 0) & (invd1[lm_idx] > 1e-6)
-    obs_mask2 = keep.reshape(W, K)
+    lam_obs1 = jnp.einsum("gwk,gk->wk", vp.E, lam_v1)
+    keep = vp.valid & (r2 <= chi2_thresh) & (z > 0) & (lam_obs1 > 1e-6)
 
     # phase 2: L2 re-solve on inliers (reference's 1 ms refine pass —
-    # fixed small iteration count here)
+    # fixed small iteration count here).  Rebuild membership on the
+    # pruned mask so dropped observations leave their virtual landmark.
+    vp2 = vp._replace(valid=keep)
     huge = jnp.asarray(1e9, prob.invdepth.dtype)  # Huber with huge delta == L2
-    poses2, invd2, cost = lm_phase(
-        prob._replace(poses=poses1, invdepth=invd1), obs_mask2, huge,
-        refine_iters)
+    poses2, lam_v2, cost = lm_phase(vp2, huge, refine_iters, poses1, lam_v1)
 
-    p2 = prob._replace(poses=poses2, invdepth=invd2)
-    r, J, z, valid, kf_idx, lm_idx, a_idx = _residuals_and_jacobians(p2, cam)
+    r, _, z = _residuals_jacobians(vp2, poses2, lam_v2, cam, with_jac=False)
     r2 = jnp.sum(r * r, axis=-1)
-    inlier = valid & (r2 <= chi2_thresh) & (z > 0) & (invd2[lm_idx] > 1e-6)
+    lam_obs2 = jnp.einsum("gwk,gk->wk", vp.E, lam_v2)
+    inlier = vp.valid & (r2 <= chi2_thresh) & (z > 0) & (lam_obs2 > 1e-6)
+
+    # write the virtual-landmark depths back to the pool: representatives
+    # are unique per landmark (one masked scatter, outside all loops)
+    from alvaar_tpu.worldmap.state import masked_scatter_set
+    invdepth = masked_scatter_set(
+        prob.invdepth, prob.obs_lm.reshape(-1), lam_v2.reshape(-1),
+        vp.is_rep.reshape(-1))
+
     return BAResult(
         poses=SE3(poses2.q, poses2.t).normalize(),
-        invdepth=invd2,
-        obs_inlier=inlier.reshape(W, K),
+        invdepth=invdepth,
+        obs_inlier=inlier,
         cost=cost,
         num_obs=jnp.sum(inlier),
     )
