@@ -106,9 +106,15 @@ def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
 # Pose estimation
 # ---------------------------------------------------------------------------
 
-def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
+def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key,
+                  allow_p3p: bool = True):
     """P3P recovery (conditional) + motion-only PnP
-    (reference visual_frontend.cpp:245-417)."""
+    (reference visual_frontend.cpp:245-417).
+
+    ``allow_p3p=False`` (static) compiles WITHOUT the P3P branch — the
+    batched serving path uses it so the expensive RANSAC does not lower
+    to select-everything under vmap; recovery then runs in a gated
+    sub-batch phase (parallel/multistream.py)."""
     is3d = (state.kp_valid & state.lm_valid[state.kp_lm]
             & state.lm_is3d[state.kp_lm])
     n3d = jnp.sum(is3d)
@@ -132,8 +138,11 @@ def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
     def without_p3p(_):
         return state.pose, is3d, jnp.asarray(True)
 
-    pose_init, pnp_mask, p3p_ok = jax.lax.cond(do_p3p, with_p3p,
-                                               without_p3p, None)
+    if allow_p3p:
+        pose_init, pnp_mask, p3p_ok = jax.lax.cond(do_p3p, with_p3p,
+                                                   without_p3p, None)
+    else:
+        pose_init, pnp_mask, p3p_ok = without_p3p(None)
 
     res = pnp_refine(pose_init, cam, pts_w, state.kp_und, pnp_mask,
                      iters=cfg.pnp_iters, huber_delta=cfg.huber_thresh)
@@ -155,7 +164,7 @@ def _compute_pose(state: MapState, cam: Camera, cfg: SlamConfig, key):
         pose=pose, kp_valid=kp_valid, p3p_req=p3p_req,
         pose_failures=failures,
         reset_requested=state.reset_requested | (failures > cfg.max_pose_failures),
-    ), success
+    ), success, do_p3p
 
 
 # ---------------------------------------------------------------------------
@@ -192,25 +201,46 @@ def _parallax_vs_kf(state: MapState, cam: Camera, rotation_compensated: bool,
     return jnp.where(n > 0, avg, 0.0), n
 
 
-def _attempt_init(state: MapState, cam: Camera, cfg: SlamConfig, key):
-    """Bootstrap readiness check + 5-pt-equivalent essential bootstrap
-    (reference checkReadyForInit, visual_frontend.cpp:419-551).  Returns
-    (state, became_ready)."""
-    slot = state.cur_kf_slot
+def _init_gate(state: MapState, cam: Camera, cfg: SlamConfig):
+    """Bootstrap readiness check (reference checkReadyForInit,
+    visual_frontend.cpp:419-551)."""
     par, n_common = _parallax_vs_kf(state, cam, rotation_compensated=True,
                                     median=False)
-    gate = (par >= cfg.init_parallax_px) & (n_common >= 8)
+    return (par >= cfg.init_parallax_px) & (n_common >= 8)
+
+
+def init_essential_phase(state: MapState, cam: Camera,
+                         cfg: SlamConfig) -> MapState:
+    """The deferred essential-bootstrap phase for batched serving: runs
+    ``try_essential`` with a key drawn from the state's own PRNG stream
+    (the gated sub-batch scheduler invokes it only for streams whose
+    init gate passed this frame)."""
+    key, sub = jax.random.split(state.rng_key)
+    state = state._replace(rng_key=key)
+    state, _ = _try_essential(state, cam, cfg, sub)
+    return state
+
+
+def _try_essential(state: MapState, cam: Camera, cfg: SlamConfig, key):
+    """5-pt essential bootstrap (reference visual_frontend.cpp:419-551).
+    Returns (state, became_ready)."""
+    slot = state.cur_kf_slot
 
     def try_essential(st: MapState):
         same = (st.kf_obs_lm[slot] == st.kp_lm) & \
             st.kf_obs_valid[slot] & st.kp_valid
         f_kf = cam.bearing(st.kf_obs_px[slot])
         f_cur = cam.bearing(st.kp_und)
-        r = essential_ransac(key, f_kf, f_cur, same,
-                             focal=0.5 * (cam.fx + cam.fy),
-                             iters=cfg.ransac_iters,
-                             err_px=cfg.ransac_err_px,
-                             min_inliers=cfg.init_min_inliers)
+        if cfg.use_five_point:
+            from alvaar_tpu.solvers.fivept import essential_ransac_5pt
+            solver = essential_ransac_5pt
+        else:
+            solver = essential_ransac
+        r = solver(key, f_kf, f_cur, same,
+                   focal=0.5 * (cam.fx + cam.fy),
+                   iters=cfg.ransac_iters,
+                   err_px=cfg.ransac_err_px,
+                   min_inliers=cfg.init_min_inliers)
         # r.pose is T_kf_cur = T_wc of the current frame (kf0 at identity)
         pose_cw = r.pose.inverse()
         new_pose = jax.tree.map(lambda a, b: jnp.where(r.success, a, b),
@@ -221,10 +251,19 @@ def _attempt_init(state: MapState, cam: Camera, cfg: SlamConfig, key):
         return st._replace(pose=new_pose, kp_valid=kp_valid,
                            ready_for_init=st.ready_for_init | r.success), r.success
 
-    def skip(st: MapState):
-        return st, jnp.asarray(False)
+    return try_essential(state)
 
-    return jax.lax.cond(gate, try_essential, skip, state)
+
+def _attempt_init(state: MapState, cam: Camera, cfg: SlamConfig, key):
+    """Gate + essential bootstrap under one ``lax.cond`` (the
+    single-stream latency path; batched serving defers the solve to a
+    gated sub-batch phase instead).  Returns (state, became_ready)."""
+    gate = _init_gate(state, cam, cfg)
+    return jax.lax.cond(
+        gate,
+        lambda st: _try_essential(st, cam, cfg, key),
+        lambda st: (st, jnp.asarray(False)),
+        state)
 
 
 # ---------------------------------------------------------------------------
@@ -261,31 +300,44 @@ def _keyframe_required(state: MapState, cam: Camera, cfg: SlamConfig):
 # The step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
-              dt=1.0) -> tuple[MapState, StepOutput]:
-    """Process one grayscale frame; returns the new state and outputs.
+class TrackFlags(NamedTuple):
+    """Per-frame outcomes the serving layer schedules on."""
+    kf_req: jax.Array     # keyframe required (already reset-gated)
+    p3p_need: jax.Array   # pose failed and P3P recovery was deferred
+    init_gate: jax.Array  # bootstrap gate passed, essential solve deferred
 
-    Mirrors the reference call stack (SURVEY §3.2): preprocess → motion
-    prior → two-stage KLT → [init | PnP] → keyframe decision → [keyframe
-    pipeline] → status dispatch.
 
-    ``dt`` is the time since the previous frame in arbitrary units
-    (seconds when the caller passes real timestamps; 1.0 per frame
-    otherwise).  The constant-velocity motion model stores ``vel`` as a
-    per-unit-time twist and scales by ``dt``, so frame drops extrapolate
-    correctly (the reference's dt-scaled MotionModel,
-    visual_frontend.hpp:11-68 — its wall-clock timestamping quirk at
-    system.cpp:114 is replaced by caller-provided time, SURVEY §7).
+def track_phase(state: MapState, gray, cam: Camera, cfg: SlamConfig,
+                dt=1.0, *, defer_heavy: bool = False
+                ) -> tuple[MapState, TrackFlags]:
+    """Per-frame work WITHOUT the keyframe pipeline: preprocess → motion
+    prior → two-stage KLT → [init | PnP] → keyframe decision.
+
+    Returns ``(state, TrackFlags)``.  The current frame's pyramid is left
+    in ``state.prev_pyr`` so a (possibly deferred) keyframe phase can read
+    the keyframe image from the state alone.  This split mirrors the
+    reference's frontend/mapper thread boundary
+    (visual_frontend.cpp:21-35 hands the keyframe to the async mapper,
+    mapper.cpp:9-143) and is what lets multi-stream serving batch the
+    cheap track phase every frame while amortizing the expensive keyframe
+    pipeline over a small stream sub-batch (parallel/multistream.py).
+
+    ``defer_heavy`` (static): compile WITHOUT the P3P-recovery and
+    essential-bootstrap RANSAC branches.  Under vmap a ``lax.cond``
+    lowers to select-everything, so the batched serving path would pay
+    both heavy solvers for every stream every frame; instead it requests
+    them via TrackFlags and the scheduler runs gated sub-batch phases
+    (``recovery_phase`` / ``init_essential_phase``).
     """
     pyr_cur = preprocess(gray, cfg)
     dt = jnp.maximum(jnp.asarray(dt, jnp.float32), 1e-6)
     key, k1, k2 = jax.random.split(state.rng_key, 3)
     state = state._replace(rng_key=key)
+    F = jnp.asarray(False)
 
     def first_frame(st: MapState):
         st = st._replace(pose=SE3.identity(dtype=st.kp_px.dtype))
-        return st, jnp.asarray(True), jnp.asarray(False)
+        return st, jnp.asarray(True), F, F
 
     def init_phase(st: MapState):
         # pure 2D tracking (no 3D priors exist yet)
@@ -293,8 +345,10 @@ def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
         n2d = jnp.sum(st.kp_valid)
         st = st._replace(
             reset_requested=st.reset_requested | (n2d < cfg.min_init_keypoints))
+        if defer_heavy:
+            return st, F, F, _init_gate(st, cam, cfg)
         st, became_ready = _attempt_init(st, cam, cfg, k1)
-        return st, became_ready, jnp.asarray(False)
+        return st, became_ready, F, F
 
     def tracking_phase(st: MapState):
         # constant-velocity prior: T_cw_prior = Exp(-vel·dt) ∘ T_cw
@@ -302,27 +356,60 @@ def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
         st = _track_keypoints(st, pyr_cur, pose_prior, cam, cfg)
         prev_pose = st.pose
         st = st._replace(pose=pose_prior)
-        st, success = _compute_pose(st, cam, cfg, k1)
+        st, success, do_p3p = _compute_pose(st, cam, cfg, k1,
+                                            allow_p3p=not defer_heavy)
         # motion model update: vel = log(T_wc_prev⁻¹ ∘ T_wc_cur) / dt
         #                          = log(T_cw_prev ∘ T_wc_cur) / dt
         new_vel = prev_pose.compose(st.pose.inverse()).log() / dt
         st = st._replace(vel=jnp.where(success, new_vel, st.vel))
         kf_req = _keyframe_required(st, cam, cfg)
-        return st, kf_req & success, success
+        p3p_need = (do_p3p & ~success) if defer_heavy else F
+        return st, kf_req & success, p3p_need, F
 
     branch = jnp.where(state.frame_id == 0, 0,
                        jnp.where(~state.ready_for_init, 1, 2))
-    state, kf_required, _ = jax.lax.switch(
+    state, kf_required, p3p_need, init_gate = jax.lax.switch(
         branch, [first_frame, init_phase, tracking_phase], state)
+    state = state._replace(prev_pyr=pyr_cur)
+    return state, TrackFlags(
+        kf_req=kf_required & ~state.reset_requested,
+        p3p_need=p3p_need & ~state.reset_requested,
+        init_gate=init_gate & ~state.reset_requested)
 
-    # keyframe pipeline (reference visual_frontend.cpp:27-33)
-    state = jax.lax.cond(
-        kf_required & ~state.reset_requested,
-        lambda s: create_keyframe(s, pyr_cur[0], cam, cfg),
-        lambda s: s,
-        state)
 
-    # status + reset dispatch (reference system.cpp:156-175)
+def recovery_phase(state: MapState, cam: Camera, cfg: SlamConfig
+                   ) -> MapState:
+    """Deferred P3P + PnP redo on the current frame (the heavy branch the
+    batched track phase skipped).  Reuses the frame's KLT results held in
+    the state; failure bookkeeping is NOT double-counted — the track
+    phase already recorded this frame's failure."""
+    pre_fail = state.pose_failures
+    pre_reset = state.reset_requested
+    key, sub = jax.random.split(state.rng_key)
+    state = state._replace(rng_key=key, p3p_req=jnp.asarray(True))
+    st, success, _ = _compute_pose(state, cam, cfg, sub, allow_p3p=True)
+    return st._replace(
+        pose_failures=jnp.where(success, 0, pre_fail),
+        reset_requested=jnp.where(success, pre_reset, st.reset_requested))
+
+
+def keyframe_phase(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
+    """The keyframe pipeline on the frame held in ``state.prev_pyr``
+    (reference visual_frontend.cpp:27-33 → mapper)."""
+    return create_keyframe(state, state.prev_pyr[0], cam, cfg)
+
+
+def finalize_phase(state: MapState, kf_created, cfg: SlamConfig,
+                   defer_reset: bool = False) -> tuple[MapState, StepOutput]:
+    """Status + reset dispatch and output marshalling
+    (reference system.cpp:156-175).
+
+    ``defer_reset`` (static): skip the reset branch — under vmap the
+    ``lax.cond`` lowers to a select over the ENTIRE state pytree for
+    every stream every frame; the batched serving path instead resets
+    flagged streams in a gated sub-batch after finalize (the
+    ``reset_requested`` flag stays set until then, which the next
+    frame's election consumes)."""
     status = jnp.where(state.reset_requested, 2,
                        jnp.where(state.ready_for_init, 1, 3)).astype(jnp.int32)
     out = StepOutput(
@@ -333,15 +420,46 @@ def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
         num_tracked=jnp.sum(state.kp_valid),
         num_3d=jnp.sum(state.kp_valid & state.lm_is3d[state.kp_lm]
                        & state.lm_valid[state.kp_lm]),
-        is_keyframe=kf_required & ~state.reset_requested,
+        is_keyframe=kf_created & ~state.reset_requested,
     )
-
-    state = jax.lax.cond(
-        state.reset_requested,
-        lambda s: reset_map_state(s, cfg),
-        lambda s: s,
-        state)
-    state = state._replace(prev_pyr=pyr_cur,
-                           frame_id=jnp.where(status == 2, 0,
+    if not defer_reset:
+        state = jax.lax.cond(
+            state.reset_requested,
+            lambda s: reset_map_state(s, cfg),
+            lambda s: s,
+            state)
+    state = state._replace(frame_id=jnp.where(status == 2, 0,
                                               state.frame_id + 1))
     return state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def slam_step(state: MapState, gray, cam: Camera, cfg: SlamConfig,
+              dt=1.0) -> tuple[MapState, StepOutput]:
+    """Process one grayscale frame; returns the new state and outputs.
+
+    Mirrors the reference call stack (SURVEY §3.2): preprocess → motion
+    prior → two-stage KLT → [init | PnP] → keyframe decision → [keyframe
+    pipeline] → status dispatch.  Composed of ``track_phase`` →
+    conditional ``keyframe_phase`` → ``finalize_phase``; multi-stream
+    serving recomposes the same phases with a sub-batched keyframe
+    scheduler instead of the inline ``lax.cond``.
+
+    ``dt`` is the time since the previous frame in arbitrary units
+    (seconds when the caller passes real timestamps; 1.0 per frame
+    otherwise).  The constant-velocity motion model stores ``vel`` as a
+    per-unit-time twist and scales by ``dt``, so frame drops extrapolate
+    correctly (the reference's dt-scaled MotionModel,
+    visual_frontend.hpp:11-68 — its wall-clock timestamping quirk at
+    system.cpp:114 is replaced by caller-provided time, SURVEY §7).
+    """
+    state, flags = track_phase(state, gray, cam, cfg, dt)
+
+    # keyframe pipeline (reference visual_frontend.cpp:27-33)
+    state = jax.lax.cond(
+        flags.kf_req,
+        lambda s: keyframe_phase(s, cam, cfg),
+        lambda s: s,
+        state)
+
+    return finalize_phase(state, flags.kf_req, cfg)

@@ -5,15 +5,37 @@ single-threaded WASM engine; SURVEY §2.3 parallelism note): N independent
 camera streams SLAM'd concurrently, sharded stream-wise across TPU chips.
 
 Design: one SLAM state per stream, stacked into a leading [B] axis on every
-leaf of the MapState pytree; the per-frame step is ``vmap(slam_step)``
-inside ``shard_map`` over a 1-D mesh axis ("streams").  Streams are
-independent — pure data parallelism, zero collectives, so scaling is linear
-in chips and all communication stays host↔device (frame in, pose out).
+leaf of the MapState pytree, processed inside ``shard_map`` over a 1-D mesh
+axis ("streams").  Streams are independent — pure data parallelism, zero
+collectives, so scaling is linear in chips and all communication stays
+host↔device (frame in, pose out).
 
-Under vmap, the step's ``lax.cond`` branches (keyframe pipeline, P3P
-recovery) lower to select-everything — each stream pays the worst-case
-branch.  That is the correct batched-serving trade: the keyframe pipeline
-cost is amortized across the batch and the program stays static.
+The per-frame program is SPLIT, not a plain ``vmap(slam_step)``:
+
+  * **track phase** — ``vmap(track_phase)`` for all local streams every
+    frame.  Cheap (pyramid + KLT + PnP) and embarrassingly batchable.
+
+  * **keyframe phase** — the expensive pipeline (detect/describe/
+    triangulate/local BA) runs on a fixed sub-batch of ``kf_slots``
+    streams per device per frame.  Under vmap, ``lax.cond`` lowers to
+    select-everything, so naive batching charges EVERY stream the full
+    keyframe pipeline EVERY frame; instead a top-k scheduler picks the
+    (at most) ``kf_slots`` local streams whose keyframe request is due,
+    gathers their state rows, runs the vmapped pipeline on the sub-batch,
+    and scatters the rows back — one XLA program, no host round-trips.
+    Streams that requested but missed the cut carry a ``kf_pending`` flag
+    and win the next frame's election (age priority), so a request is
+    served within ~b/kf_slots frames.  This mirrors the reference's
+    async-mapper boundary (the frontend keeps tracking while the mapper
+    processes the keyframe queue, mapper.cpp:9-34) — deferral by a frame
+    is the reference's normal operating mode, not an approximation.
+
+  * **finalize phase** — ``vmap(finalize_phase)``: status/reset dispatch.
+
+Election priority: pending (deferred) requests outrank fresh ones;
+bootstrap keyframes (first keyframe, post-essential second keyframe —
+``next_kf_id <= 1``) outrank everything, because tracking cannot proceed
+at all until they exist.
 """
 
 from __future__ import annotations
@@ -25,7 +47,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alvaar_tpu.config import SlamConfig
-from alvaar_tpu.frontend.step import slam_step
+from alvaar_tpu.frontend.step import (finalize_phase, init_essential_phase,
+                                      keyframe_phase, recovery_phase,
+                                      track_phase)
 from alvaar_tpu.geom.camera import Camera
 from alvaar_tpu.worldmap.state import MapState, init_map_state
 
@@ -41,24 +65,151 @@ def init_multistream_state(cfg: SlamConfig, num_streams: int,
     return stacked._replace(rng_key=keys)
 
 
-def make_multistream_step(cfg: SlamConfig, cam: Camera, mesh: Mesh,
-                          axis: str = "streams"):
-    """Build the sharded batched step: (states [B,...], frames [B,H,W]) →
-    (states, outputs), with B sharded over ``axis`` of ``mesh``."""
+def _row_select(active, new, old):
+    """jnp.where with [S] mask broadcast over trailing dims."""
+    m = active.reshape(active.shape + (1,) * (new.ndim - 1))
+    return jnp.where(m, new, old)
 
-    def batched(states: MapState, frames):
-        return jax.vmap(lambda s, f: slam_step(s, f, cam, cfg))(states, frames)
+
+def _gated_subbatch(states: MapState, flags, phase_fn, slots: int):
+    """Run ``phase_fn`` (a MapState → MapState transform) on the top-k
+    flagged local streams only: top-k election → gather rows → vmapped
+    phase → masked scatter-back.  The whole body sits under a SCALAR
+    ``lax.cond`` (we are under jit/shard_map here, not vmap), so frames
+    where nothing is flagged skip the phase at runtime entirely.
+
+    Returns (states, served [b] bool)."""
+    b = flags.shape[0]
+    S = min(slots, b)
+    score = flags.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, S)
+    active = score[idx] > 0.0
+
+    def serve(states: MapState) -> MapState:
+        sub = jax.tree.map(lambda x: x[idx], states)
+        sub2 = jax.vmap(phase_fn)(sub)
+        merged = jax.tree.map(partial(_row_select, active), sub2, sub)
+        return jax.tree.map(
+            lambda full, m: full.at[idx].set(m, mode="drop",
+                                             unique_indices=True),
+            states, merged)
+
+    states = jax.lax.cond(jnp.any(active), serve, lambda s: s, states)
+    served = jnp.zeros((b,), bool).at[idx].set(active, mode="drop")
+    return states, served
+
+
+def multistream_step_local(states: MapState, frames, dts, cam: Camera,
+                           cfg: SlamConfig, kf_slots: int):
+    """One frame for a local shard of b streams: batched track (heavy
+    RANSAC branches compiled OUT), then three gated sub-batch phases —
+    P3P recovery, essential bootstrap, keyframe pipeline — then batched
+    finalize.  Pure function of fixed shapes — usable directly (single
+    host) or inside shard_map (mesh)."""
+    b = frames.shape[0]
+
+    states, fl = jax.vmap(
+        lambda s, f, dt: track_phase(s, f, cam, cfg, dt, defer_heavy=True)
+    )(states, frames, dts)
+
+    # ---- gated P3P recovery (rare: consecutive PnP failures) ----
+    states, _ = _gated_subbatch(
+        states, fl.p3p_need, lambda s: recovery_phase(s, cam, cfg),
+        max(2, kf_slots // 2))
+
+    # ---- gated essential bootstrap (rare: once per stream lifetime) ----
+    pre_ready = states.ready_for_init
+    states, _ = _gated_subbatch(
+        states, fl.init_gate, lambda s: init_essential_phase(s, cam, cfg),
+        max(2, kf_slots // 2))
+    became_ready = states.ready_for_init & ~pre_ready
+
+    # ---- keyframe election: age-prioritized top-k sub-batch ----
+    req = ((fl.kf_req | became_ready | states.kf_pending)
+           & ~states.reset_requested)
+    urgent = req & (states.next_kf_id <= 1)
+    score = (req.astype(jnp.float32)
+             + 2.0 * states.kf_pending.astype(jnp.float32)
+             + 4.0 * urgent.astype(jnp.float32))
+    S = min(kf_slots, b)
+    _, idx = jax.lax.top_k(score, S)
+    active = score[idx] > 0.0
+
+    def serve(states: MapState) -> MapState:
+        sub = jax.tree.map(lambda x: x[idx], states)
+        sub_kf = jax.vmap(lambda s: keyframe_phase(s, cam, cfg))(sub)
+        merged = jax.tree.map(partial(_row_select, active), sub_kf, sub)
+        return jax.tree.map(
+            lambda full, m: full.at[idx].set(m, mode="drop",
+                                             unique_indices=True),
+            states, merged)
+
+    states = jax.lax.cond(jnp.any(active), serve, lambda s: s, states)
+    served = jnp.zeros((b,), bool).at[idx].set(active, mode="drop")
+    states = states._replace(kf_pending=req & ~served)
+
+    states, outs = jax.vmap(
+        lambda s, k: finalize_phase(s, k, cfg, defer_reset=True)
+    )(states, served)
+
+    # ---- gated reset (rare): full-state re-init as a sub-batch instead
+    # of a per-stream whole-pytree select every frame ----
+    from alvaar_tpu.worldmap.state import reset_map_state
+    states, _ = _gated_subbatch(
+        states, states.reset_requested,
+        lambda s: reset_map_state(s, cfg), max(2, kf_slots // 2))
+    return states, outs
+
+
+def make_multistream_step(cfg: SlamConfig, cam: Camera, mesh: Mesh,
+                          axis: str = "streams", kf_slots: int = 4):
+    """Build the sharded batched step: (states [B,...], frames [B,H,W],
+    dts [B]) → (states, outputs), with B sharded over ``axis`` of
+    ``mesh``.  ``kf_slots`` = keyframe sub-batch size PER DEVICE; the
+    aggregate keyframe rate a device can sustain is kf_slots per frame
+    (typical demand is ~b/6 for b local streams)."""
+
+    def local(states: MapState, frames, dts):
+        return multistream_step_local(states, frames, dts, cam, cfg,
+                                      kf_slots)
 
     spec = P(axis)
     # check_vma off: the step's lax.cond branches mix replicated constants
     # (reset path) with stream-varying data, which the varying-axis checker
     # rejects; the map is embarrassingly parallel so the check buys nothing.
-    step = jax.shard_map(batched, mesh=mesh, in_specs=(spec, spec),
-                         out_specs=(spec, spec), check_vma=False)
-    return jax.jit(step)
+    step = jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(spec, spec, spec),
+                                 out_specs=(spec, spec), check_vma=False))
+
+    def run(states: MapState, frames, dts=None):
+        if dts is None:
+            dts = jnp.ones((frames.shape[0],), frames.dtype)
+        return step(states, frames, dts)
+
+    return run
 
 
 def shard_states(states: MapState, mesh: Mesh, axis: str = "streams"):
     """Place a stacked state onto the mesh, stream-sharded."""
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), states)
+
+
+def make_multistream_scan(cfg: SlamConfig, cam: Camera, kf_slots: int = 4):
+    """Single-device serving loop: iterate the split-phase multi-stream
+    step over pre-staged frames [N, B, H, W] under one ``lax.scan`` (the
+    bench.py device-throughput harness; production serving replaces the
+    scan with a host feed loop).  Returns (final_states, (statuses
+    [N, B], poses [N, B, 4, 4]))."""
+
+    @jax.jit
+    def run(states: MapState, frames, dts):
+        def body(states, xs):
+            f, dt = xs
+            states, out = multistream_step_local(states, f, dt, cam, cfg,
+                                                 kf_slots)
+            return states, (out.status, out.pose_wc)
+
+        return jax.lax.scan(body, states, (frames, dts))
+
+    return run

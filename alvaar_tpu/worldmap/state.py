@@ -58,6 +58,10 @@ class MapState(NamedTuple):
     lm_is3d: jax.Array    # [L] bool (triangulated)
     lm_obs: jax.Array     # [L, W] bool observation incidence
     lm_desc: jax.Array    # [L, 8] uint32 representative descriptor
+    lm_desc_bag: jax.Array  # [L, G, 8] uint32 descriptor bag (ring)
+    lm_desc_cnt: jax.Array  # [L] int32 descriptors ever pushed (ring ptr)
+    lm_color: jax.Array   # [L] float32 intensity at detection (viz export,
+                          # reference map_point.hpp color_ / getPointCloud)
 
     # ---- motion model (reference visual_frontend.hpp:11-68) ---------------
     vel: jax.Array        # [6] se3 log of frame-to-frame motion (T_wc convention)
@@ -71,6 +75,8 @@ class MapState(NamedTuple):
     pose_failures: jax.Array   # int32 consecutive PnP failures
     reset_requested: jax.Array  # bool
     p3p_req: jax.Array         # bool — P3P recovery requested (bad KLT/PnP)
+    kf_pending: jax.Array      # bool — keyframe requested but deferred by the
+                               # multi-stream scheduler (parallel/multistream.py)
     rng_key: jax.Array         # [2] uint32 PRNG state
 
 
@@ -100,6 +106,9 @@ def init_map_state(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         lm_is3d=jnp.zeros((L,), bool),
         lm_obs=jnp.zeros((L, W), bool),
         lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_desc_bag=jnp.zeros((L, cfg.desc_bag_size, 8), jnp.uint32),
+        lm_desc_cnt=jnp.zeros((L,), jnp.int32),
+        lm_color=jnp.zeros((L,), dtype),
         vel=jnp.zeros((6,), dtype),
         frame_id=jnp.asarray(0, jnp.int32),
         next_kf_id=jnp.asarray(0, jnp.int32),
@@ -109,6 +118,7 @@ def init_map_state(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         pose_failures=jnp.asarray(0, jnp.int32),
         reset_requested=jnp.asarray(False),
         p3p_req=jnp.asarray(False),
+        kf_pending=jnp.asarray(False),
         rng_key=jax.random.PRNGKey(cfg.seed),
     )
 
@@ -141,6 +151,43 @@ def landmark_world_positions(kf_pose: SE3, lm_anchor, lm_mxy, lm_invd):
     X_a = jnp.concatenate(
         [lm_mxy, jnp.ones_like(lm_invd)[:, None]], axis=-1) / invd_safe[:, None]
     return T_a.inverse().apply(X_a)
+
+
+def apply_world_correction(state: MapState, dT: SE3, scale=None) -> MapState:
+    """Rigidly re-gauge the whole map by a world-frame transform
+    ``X_w' = s · dT · X_w`` (loop-closure correction).
+
+    Applied when a confirmed loop relocalizes the current camera against
+    stored geometry: ``dT = T_wc_reloc ∘ T_wc_current⁻¹`` maps the drifted
+    world frame onto the loop-consistent one.  Because landmarks are
+    anchored inverse-depth (lm_mxy/lm_invd are ANCHOR-frame relative),
+    transforming every keyframe pose and world position consistently
+    leaves the parametrization valid — no per-landmark re-anchoring.
+    ``scale`` optionally corrects monocular scale drift (sim3 gauge);
+    it rescales translations and depths about the world origin.
+
+    The reference has no equivalent — its vendored iBoW-LCD is never
+    linked and a detected loop would change nothing (SURVEY §2.3);
+    this exceeds parity.
+    """
+    s = jnp.asarray(1.0 if scale is None else scale, state.lm_pos.dtype)
+    dT_inv = dT.inverse()
+
+    def fix_pose(T_cw: SE3) -> SE3:
+        # T_cw' = T_cw ∘ (s·dT)⁻¹ : rotation from dT, translation rescaled
+        out = T_cw.compose(dT_inv)
+        return SE3(out.q, s * T_cw.t + T_cw.rotate(
+            jnp.broadcast_to(dT_inv.t, T_cw.t.shape)))
+
+    # poses: X_c' = s·X_c (camera-frame depths re-gauge with the map)
+    new_pose = fix_pose(state.pose)
+    new_kf_pose = fix_pose(state.kf_pose)
+    # sim3 action X_w' = s·R_d·X_w + t_d
+    new_lm_pos = s * dT.rotate(state.lm_pos) + dT.t
+    # inverse depth shrinks as the world grows: z' = s·z
+    new_invd = state.lm_invd / s
+    return state._replace(pose=new_pose, kf_pose=new_kf_pose,
+                          lm_pos=new_lm_pos, lm_invd=new_invd)
 
 
 def masked_scatter_set(arr, idx, values, mask):

@@ -68,3 +68,57 @@ class TestMultistream:
         n_kp = np.asarray(states.kp_valid.sum(axis=1))
         assert n_kp[0] == 0          # flat stream detected nothing
         assert (n_kp[1:] > 0).all()  # textured streams track
+
+
+class TestKeyframeScheduler:
+    def test_tracking_with_subbatched_keyframes(self, mesh, rng):
+        """Streams fed a real moving scene must initialize and track even
+        though keyframes are served through the top-k sub-batch scheduler
+        (kf_slots=1 per device forces deferrals at bootstrap)."""
+        from tests.render_scene import TwoPlaneScene, trajectory
+
+        B = 8
+        cfg = SlamConfig(width=240, height=180, cell_size=20, window_size=8,
+                         max_landmarks=320, ransac_iters=40, ba_iters=2,
+                         pyramid_levels=2, init_parallax_px=15.0,
+                         min_init_keypoints=10)
+        cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+        scene = TwoPlaneScene(np.random.default_rng(3), width=cfg.width,
+                              height=cfg.height, fov=60.0, tex_scale=120.0)
+        gt = trajectory(30, step=0.05)
+        frames = np.stack([scene.render(gt[i]) for i in range(len(gt))])
+
+        states = shard_states(init_multistream_state(cfg, B), mesh)
+        spec = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("streams"))
+        step = make_multistream_step(cfg, cam, mesh, kf_slots=1)
+        statuses = []
+        for i in range(len(gt)):
+            f = jax.device_put(jnp.broadcast_to(
+                jnp.asarray(frames[i], jnp.float32),
+                (B, cfg.height, cfg.width)), spec)
+            states, out = step(states, f)
+            statuses.append(np.asarray(out.status))
+        statuses = np.stack(statuses)          # [N, B]
+        # every stream eventually reaches tracking (status 1)
+        for b in range(B):
+            assert 1 in statuses[:, b], f"stream {b} never tracked: {statuses[:, b]}"
+        # keyframes were actually created (maps are populated)
+        n_kf = np.asarray(states.kf_valid.sum(axis=1))
+        assert (n_kf >= 2).all(), f"keyframe starvation: {n_kf}"
+
+    def test_scan_serving_loop(self, rng):
+        """The single-device scan harness runs and matches shapes."""
+        from alvaar_tpu.parallel.multistream import make_multistream_scan
+
+        B, N = 4, 6
+        cfg = CFG
+        cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+        states = init_multistream_state(cfg, B)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (N, B, cfg.height, cfg.width)), jnp.float32)
+        dts = jnp.ones((N, B), jnp.float32)
+        run = make_multistream_scan(cfg, cam, kf_slots=2)
+        states, (statuses, poses) = run(states, frames, dts)
+        assert statuses.shape == (N, B)
+        assert poses.shape == (N, B, 4, 4)
