@@ -171,7 +171,15 @@ def _per_obs_inputs(vp: _VirtualProblem, poses: SE3, lam_v):
 
 def _residuals_jacobians(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
                          with_jac: bool):
-    """Residuals [W, K, 2] (+ Jacobians [W, K, 2, 13], depths [W, K])."""
+    """Residuals [W, K, 2] (+ Jacobians [W, K, 2, 13], depths [W, K]).
+
+    Jacobians come from forward-mode autodiff of the 13-parameter
+    residual at the zero retraction.  An analytic closed-form version
+    (observer [I|−hat(X_c)], anchor R_o R_aᵀ[−I|hat(X_a)], depth
+    −R_o R_aᵀ X_a/λ — validated equal to f32 roundoff) was measured 2x
+    SLOWER on TPU: it assembles [W,K,3,3]/[W,K,3,13] tensors through
+    tiny batched matmuls that pad to (8,128) vregs at ~3% utilization,
+    while jacfwd lowers to fully fused elementwise chains."""
     W, K = vp.valid.shape
     q_o, t_o, q_a, t_a, lam = _per_obs_inputs(vp, poses, lam_v)
     zero13 = jnp.zeros(13, vp.px.dtype)
@@ -208,14 +216,32 @@ def _huber_rho(r2, delta):
     return jnp.where(rn <= delta, r2, 2 * delta * rn - delta * delta)
 
 
-def _build_and_solve(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
-                     huber_delta, lam_lm):
-    """One LM linearization: dense Schur build + solve, scatter-free.
+class _Linearization(NamedTuple):
+    """Damping-independent normal-equation blocks of one linearization."""
+    H_cc: jax.Array   # [6W, 6W] raw camera block (no damping)
+    g_c: jax.Array    # [6W]
+    u: jax.Array      # [W, K, 6] wJl·J_o (observer coupling)
+    va: jax.Array     # [W(g), K, 6] Σ_members wJl·J_a (anchor coupling)
+    D: jax.Array      # [W(g), K] landmark diagonal
+    g_l: jax.Array    # [W(g), K] landmark gradient
+    cost: jax.Array   # robust cost at the linearization point
 
-    Returns (delta_pose [W, 6], delta_lam_v [W, K], cost).
+
+def _linearize(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
+               huber_delta) -> _Linearization:
+    """BLOCKWISE normal-equation build, scatter-free.
+
+    The full camera-row Jacobian Jfull [W, K, 2, 6W] is never
+    materialized (it is 14x larger than its nonzeros and dominates HBM
+    traffic under stream-batch vmap): every product against it is
+    assembled blockwise from its structure — the observer 2x6 block lives
+    at column w, the anchor block at column a(w,k), zeros elsewhere — so
+    the largest tensors in the build are [W, K, W] / [W, W, 6, 6]
+    einsums.  Validated equal to the dense formulation to 2e-13 in f64.
     """
     W, K = vp.valid.shape
     C = 6 * W
+    HI = jax.lax.Precision.HIGHEST
     r, J, z = _residuals_jacobians(vp, poses, lam_v, cam, with_jac=True)
 
     r2 = jnp.sum(r * r, axis=-1)                          # [W, K]
@@ -230,47 +256,72 @@ def _build_and_solve(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
     J_o = jnp.where(vp.constant[:, None, None, None], 0.0, J_o)
     J_a = jnp.where(vp.a_const[:, :, None, None], 0.0, J_a)
 
-    # full camera-row Jacobian [W, K, 2, W, 6]: observer block at its own
-    # row w (identity placement), anchor block via the anchor one-hot
-    eye_w = jnp.eye(W, dtype=J.dtype)                     # [W, W]
-    Jfull = (eye_w[:, None, None, :, None] * J_o[:, :, :, None, :]
-             + vp.A1hot[:, :, None, :, None] * J_a[:, :, :, None, :])
-    Jfull = Jfull.reshape(W, K, 2, C)
-    wJfull = Jfull * w[:, :, None, None]
+    wJ_o = J_o * w[:, :, None, None]
+    wJ_a = J_a * w[:, :, None, None]
+    A = vp.A1hot                                          # [W, K, W]
+    eyeW = jnp.eye(W, dtype=J.dtype)
 
-    # --- camera-camera block: ONE self-adjoint MXU matmul ---
-    Jf2 = Jfull.reshape(W * K * 2, C)
-    wJf2 = wJfull.reshape(W * K * 2, C)
-    H_cc = jax.lax.dot(wJf2.T, Jf2,
-                       precision=jax.lax.Precision.HIGHEST)  # [C, C]
-    g_c = jnp.einsum("wkrc,wkr->c", wJfull, r,
-                     precision=jax.lax.Precision.HIGHEST)
+    # ---- H_cc blockwise [W, W, 6, 6]: observer-observer on the diagonal,
+    # observer-anchor at (w, a), anchor-anchor on the (a, a) diagonal ----
+    Hoo = jnp.einsum("wkri,wkrj->wij", wJ_o, J_o, precision=HI)
+    Hoa = jnp.einsum("wkri,wkrj,wka->waij", wJ_o, J_a, A, precision=HI)
+    Haa = jnp.einsum("wkri,wkrj,wka->aij", wJ_a, J_a, A, precision=HI)
+    Hblk = (eyeW[:, :, None, None] * (Hoo + Haa)[:, None]
+            + Hoa + jnp.swapaxes(jnp.swapaxes(Hoa, 0, 1), 2, 3))
+    H_cc = Hblk.transpose(0, 2, 1, 3).reshape(C, C)
 
-    # --- landmark blocks over virtual landmarks (g, k) ---
+    g_blk = (jnp.einsum("wkri,wkr->wi", wJ_o, r, precision=HI)
+             + jnp.einsum("wkri,wkr,wka->ai", wJ_a, r, A, precision=HI))
+    g_c = g_blk.reshape(C)
+
+    # ---- landmark couplings over virtual landmarks (g, k): the H_cl row
+    # of vlm (g,k) is E[g,x,k]·u[x,k] at column x plus va[g,k] at the
+    # (shared) anchor column ----
     wJl = J_l * w[:, :, None]                             # [W, K, 2]
-    v_cl = jnp.einsum("wkr,wkrc->wkc", wJl, Jfull,
-                      precision=jax.lax.Precision.HIGHEST)  # [W, K, C]
-    H_cl = jnp.einsum("gwk,wkc->gkc", vp.E, v_cl,
-                      precision=jax.lax.Precision.HIGHEST)  # [g, K, C]
-    D = jnp.einsum("gwk,wk->gk", vp.E,
-                   w * jnp.sum(J_l * J_l, axis=-1))       # [g, K]
-    g_l = jnp.einsum("gwk,wk->gk", vp.E,
-                     jnp.sum(wJl * r, axis=-1))           # [g, K]
+    u = jnp.einsum("wkr,wkri->wki", wJl, J_o, precision=HI)
+    v = jnp.einsum("wkr,wkri->wki", wJl, J_a, precision=HI)
+    D = jnp.einsum("gwk,wk->gk", vp.E, w * jnp.sum(J_l * J_l, -1))
+    g_l = jnp.einsum("gwk,wk->gk", vp.E, jnp.sum(wJl * r, -1))
+    va = jnp.einsum("gwk,wki->gki", vp.E, v, precision=HI)  # [g, K, 6]
+    return _Linearization(H_cc, g_c, u, va, D, g_l, cost)
 
-    # --- LM damping ---
-    diag = jnp.diagonal(H_cc)
-    H_cc = H_cc + jnp.diag(lam_lm * diag.clip(1e-8))
+
+def _solve_lm(vp: _VirtualProblem, lin: _Linearization, lam_lm):
+    """Damped Schur solve from carried normal-equation blocks.
+
+    Returns (delta_pose [W, 6], delta_lam_v [W, K]).
+    """
+    W, K = vp.valid.shape
+    C = 6 * W
+    HI = jax.lax.Precision.HIGHEST
+    eyeW = jnp.eye(W, dtype=lin.H_cc.dtype)
+    Av = vp.A1hot
+    u, va, D, g_l = lin.u, lin.va, lin.D, lin.g_l
+
+    # ---- LM damping ----
+    diag = jnp.diagonal(lin.H_cc)
+    H_cc = lin.H_cc + jnp.diag(lam_lm * diag.clip(1e-8))
     D_damped = D * (1.0 + lam_lm)
 
-    # --- Schur complement over virtual landmarks ---
     lm_active = vp.is_rep & (D > 1e-12)
     D_safe = jnp.where(lm_active, D_damped, 1.0)
-    Hcl_flat = jnp.where(lm_active[:, :, None], H_cl, 0.0).reshape(W * K, C)
-    D_flat = D_safe.reshape(W * K)
-    S = H_cc - jax.lax.dot(Hcl_flat.T, Hcl_flat / D_flat[:, None],
-                           precision=jax.lax.Precision.HIGHEST)
-    g_lm = jnp.where(lm_active, g_l, 0.0)
-    g_s = g_c - Hcl_flat.T @ (g_lm.reshape(W * K) / D_flat)
+    invD = jnp.where(lm_active, 1.0 / D_safe, 0.0)        # [g, k]
+
+    # ---- Schur correction M = H_clᵀ D⁻¹ H_cl, blockwise ----
+    Ed = vp.E * invD[:, None, :]                          # [g, w, k]
+    G = jnp.einsum("gxk,gyk->xyk", Ed, vp.E, precision=HI)
+    T_uu = jnp.einsum("xyk,xki,ykj->xyij", G, u, u, precision=HI)
+    F = jnp.einsum("gxk,gky,gkj->xkyj", Ed, Av, va, precision=HI)
+    T_uv = jnp.einsum("xkyj,xki->xyij", F, u, precision=HI)
+    T_vv = jnp.einsum("gkx,gk,gki,gkj->xij", Av, invD, va, va, precision=HI)
+    M = (T_uu + T_uv + jnp.swapaxes(jnp.swapaxes(T_uv, 0, 1), 2, 3)
+         + eyeW[:, :, None, None] * T_vv[:, None])
+    S = H_cc - M.transpose(0, 2, 1, 3).reshape(C, C)
+
+    gld = g_l * invD                                      # [g, k]
+    hts = (jnp.einsum("gxk,gk,xki->xi", vp.E, gld, u, precision=HI)
+           + jnp.einsum("gkx,gk,gki->xi", Av, gld, va, precision=HI))
+    g_s = lin.g_c - hts.reshape(C)
 
     # mask constant/dead keyframes: identity rows/cols, zero gradient
     free = (vp.kf_valid & ~vp.constant)
@@ -279,20 +330,27 @@ def _build_and_solve(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
     S = S + jnp.diag(jnp.where(free6, 1e-9, 1.0))
     g_s = jnp.where(free6, g_s, 0.0)
 
-    delta_c = -jnp.linalg.solve(S, g_s)
+    # S is symmetric positive definite by construction (Gauss-Newton
+    # normal equations + LM damping + identity rows) → Cholesky, which
+    # is substantially faster than LU on TPU for the batched 180×180
+    # solves this amounts to under stream-vmap
+    chol = jax.lax.linalg.cholesky(0.5 * (S + S.T))
+    ok = jnp.all(jnp.isfinite(chol))
+    y = jax.scipy.linalg.solve_triangular(chol, g_s, lower=True)
+    delta_c = -jax.scipy.linalg.solve_triangular(chol, y, lower=True,
+                                                 trans=1)
+    # fall back to zero step on a (numerically) indefinite system — the
+    # LM loop then rejects and raises damping
+    delta_c = jnp.where(ok & jnp.isfinite(delta_c), delta_c, 0.0)
     delta_c = jnp.where(free6, delta_c, 0.0)
+    dC = delta_c.reshape(W, 6)
 
-    # back-substitute virtual landmarks
-    delta_l = -(g_lm + (Hcl_flat @ delta_c).reshape(W, K)) / D_safe
+    # back-substitute: delta_l = -(g_l + H_cl @ delta_c) / D
+    hdc = (jnp.einsum("gxk,xki,xi->gk", vp.E, u, dC, precision=HI)
+           + jnp.einsum("gki,gkx,xi->gk", va, Av, dC, precision=HI))
+    delta_l = -(g_l + hdc) * invD
     delta_l = jnp.where(lm_active, delta_l, 0.0)
-    return delta_c.reshape(W, 6), delta_l, cost
-
-
-def _cost_only(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
-               huber_delta):
-    r, _, _ = _residuals_jacobians(vp, poses, lam_v, cam, with_jac=False)
-    r2 = jnp.sum(r * r, axis=-1)
-    return jnp.sum(jnp.where(vp.valid, _huber_rho(r2, huber_delta), 0.0))
+    return dC, delta_l
 
 
 @partial(jax.jit, static_argnames=("iters", "refine_iters"))
@@ -319,13 +377,27 @@ def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
     W, K = prob.obs_lm.shape
 
     def lm_phase(vp: _VirtualProblem, delta_huber, n_iters, poses, lam_v):
+        """Branch-free accept/reject LM.  Each iteration: one fused
+        linearize+solve (XLA keeps the jacfwd intermediates feeding the
+        normal-equation einsums in registers — carrying the blocks across
+        iterations for a 'deferred accept' scheme was measured SLOWER:
+        the [6W,6W]+[W,K,6] carry selects break that fusion), plus one
+        jacobian-free residual pass for the trial cost."""
+
+        def cost_only(poses, lam_v):
+            r, _, _ = _residuals_jacobians(vp, poses, lam_v, cam,
+                                           with_jac=False)
+            r2 = jnp.sum(r * r, axis=-1)
+            return jnp.sum(jnp.where(vp.valid,
+                                     _huber_rho(r2, delta_huber), 0.0))
+
         def step(carry, _):
             poses, lam_v, lam_lm, cost = carry
-            dc, dl, _ = _build_and_solve(vp, poses, lam_v, cam,
-                                         delta_huber, lam_lm)
+            lin = _linearize(vp, poses, lam_v, cam, delta_huber)
+            dc, dl = _solve_lm(vp, lin, lam_lm)
             new_poses = SE3.exp(dc).compose(SE3(poses.q, poses.t)).normalize()
             new_lam_v = lam_v + dl
-            new_cost = _cost_only(vp, new_poses, new_lam_v, cam, delta_huber)
+            new_cost = cost_only(new_poses, new_lam_v)
             accept = new_cost < cost
             poses = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
                                  new_poses, poses)
@@ -335,7 +407,7 @@ def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
             lam_lm = lam_lm.clip(1e-8, 1e8)
             return (poses, lam_v, lam_lm, cost), None
 
-        cost0 = _cost_only(vp, poses, lam_v, cam, delta_huber)
+        cost0 = cost_only(poses, lam_v)
         (poses, lam_v, _, cost), _ = jax.lax.scan(
             step, (poses, lam_v, jnp.asarray(1e-4, lam_v.dtype), cost0),
             None, length=n_iters)
