@@ -59,6 +59,8 @@ class SlamConfig:
     ransac_iters: int = 100
     ransac_err_px: float = 3.0
     init_min_inliers: int = 10   # 5-pt essential gate (multi_view_geometry.cpp:283)
+    use_five_point: bool = True  # Nister 5-pt minimal solver at bootstrap
+                                 # (reference fivept_nister; False = 8-point)
     p3p_min_inliers: int = 5     # p3p gate (visual_frontend.cpp:304-357)
     use_p3p: bool = True         # reference system.cpp:19
 
@@ -71,6 +73,9 @@ class SlamConfig:
     # ---- keyframe / map policy -------------------------------------------
     window_size: int = 30        # keyframe ring buffer (mapper.cpp:14-18)
     max_landmarks: int = 4096    # landmark pool size (fixed-shape)
+    desc_bag_size: int = 6       # per-landmark descriptor bag (ring); the
+                                 # representative is the bag medoid
+                                 # (reference map_point.cpp:131-181)
     kf_filtering_ratio: float = 0.95  # redundancy filter (system.cpp:18)
     triang_max_reproj_px: float = 3.0  # temporal triangulation gate (mapper.cpp:230)
     match_nndr: float = 0.9        # Hamming best/second ratio (mapper.cpp:478)

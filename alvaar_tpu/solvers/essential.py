@@ -93,6 +93,34 @@ def _score_candidates(pose_01: SE3, f0, f1, thresh):
     return err, posdepth
 
 
+def refine_relative_pose(pose_01: SE3, inliers, f0, f1, thresh, valid):
+    """Least-squares E refit on an inlier set + re-decomposition (the
+    'local optimization' step after RANSAC).  Rows outside the inlier
+    set are zeroed — zero rows do not perturb the null space of the
+    [N, 9] system.  Keeps the refit only if it scores at least as many
+    inliers as the input pose.  Returns (pose_01, inliers, count)."""
+    w = inliers.astype(f0.dtype)
+    E = essential_from_8pt(f0 * w[:, None], f1 * w[:, None])
+    R4, t4 = decompose_essential(E)                     # [4, 3, 3]
+    pose_10 = SE3(matrix_to_quat(R4), t4)
+    cand_01 = pose_10.inverse()
+    err, posdepth = _score_candidates(cand_01, f0, f1, thresh)
+    inl = (err < thresh) & posdepth & valid[None]
+    counts = jnp.sum(inl, axis=-1)
+    b = jnp.argmax(counts)
+
+    err0, pos0 = _score_candidates(
+        jax.tree.map(lambda x: x[None], pose_01), f0, f1, thresh)
+    inl0 = (err0 < thresh) & pos0 & valid[None]
+    n0 = jnp.sum(inl0[0])
+
+    better = counts[b] >= n0
+    pose = jax.tree.map(
+        lambda a, c: jnp.where(better, a[b], c), cand_01, pose_01)
+    inliers = jnp.where(better, inl[b], inl0[0])
+    return pose, inliers, jnp.maximum(counts[b], n0)
+
+
 def essential_ransac(key, f0, f1, valid, *, focal, iters: int = 100,
                      err_px: float = 3.0, min_inliers: int = 10
                      ) -> RelativePoseResult:
@@ -125,6 +153,8 @@ def essential_ransac(key, f0, f1, valid, *, focal, iters: int = 100,
 
     best_pose = jax.tree.map(lambda x: x[best], pose_01)
     inliers = inl[best]
-    num = jnp.sum(inliers)
+    # local optimization: LSQ refit on the winning inlier set
+    best_pose, inliers, num = refine_relative_pose(
+        best_pose, inliers, f0, f1, thresh, valid)
     success = num >= min_inliers
     return RelativePoseResult(best_pose, inliers, num, success)
