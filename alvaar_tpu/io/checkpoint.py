@@ -40,6 +40,7 @@ def _config_fingerprint(cfg: SlamConfig) -> dict:
         "pyramid_levels": cfg.pyramid_levels,
         "window_size": cfg.window_size,
         "max_landmarks": cfg.max_landmarks,
+        "desc_bag_size": cfg.desc_bag_size,
         "dtype": cfg.dtype,
     }
 

@@ -177,3 +177,44 @@ def relocalize(db: LoopDB, entry, desc_q, bearings_q, valid_q, key, *,
     res = p3p_lmeds(key, bearings_q, pts_w, m_ok, focal=focal,
                     iters=iters, min_inliers=min_inliers)
     return res
+
+
+@partial(jax.jit, static_argnames=("nndr", "iters", "topk", "min_inliers"))
+def relocalize_topk(db: LoopDB, desc_q, bearings_q, valid_q, key, *,
+                    focal, nndr: float = 0.8, iters: int = 100,
+                    topk: int = 8,
+                    min_inliers: int = 12) -> AbsolutePoseResult:
+    """Batched relocalization against the WHOLE database in one program:
+    one dense Hamming pass votes for candidate entries, the ``topk``
+    highest-voted entries are P3P-LMedS-solved under ``vmap``, and the
+    solve with the most inliers wins.  Replaces the O(D)-dispatch host
+    loop (one kernel launch per entry) with exactly one launch."""
+    D, K, _ = db.desc.shape
+
+    # ---- vote: same dense pass as detect_loop, no delay gate ----
+    flat_db = db.desc.reshape(D * K, 8)
+    dist = hamming_matrix_matmul(desc_q, flat_db).astype(jnp.float32)
+    db_ok = (db.kp_valid & db.lm_is3d & (db.kf_id >= 0)[:, None]).reshape(-1)
+    BIG = jnp.asarray(1e9, jnp.float32)
+    dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best, second = -neg2[:, 0], -neg2[:, 1]
+    m_ok = (best <= second * nndr) & (best < 64.0)
+    votes = jnp.zeros((D,), jnp.float32).at[idx2[:, 0] // K].add(
+        jnp.where(m_ok, 1.0, 0.0))
+
+    _, entries = jax.lax.top_k(votes, topk)               # [E]
+
+    keys = jax.random.split(key, topk)
+    res = jax.vmap(
+        lambda e, k: relocalize(db, e, desc_q, bearings_q, valid_q, k,
+                                focal=focal, nndr=nndr, iters=iters,
+                                min_inliers=min_inliers)
+    )(entries, keys)
+
+    n_in = jnp.where(res.success, res.num_inliers, -1)
+    b = jnp.argmax(n_in)
+    pick = lambda x: jax.tree.map(lambda a: a[b], x)
+    return AbsolutePoseResult(
+        pose=pick(res.pose), success=res.success[b],
+        inliers=res.inliers[b], num_inliers=res.num_inliers[b])

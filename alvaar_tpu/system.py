@@ -78,6 +78,7 @@ class AlvaAR:
         # iBoW-LCD but never links it — SURVEY §2.3)
         self.loop_db = None
         self.last_loop = None
+        self.last_loop_correction = None
         if enable_loop_closure:
             from alvaar_tpu.loopclosure.detector import db_init
             self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
@@ -130,16 +131,29 @@ class AlvaAR:
                                     self.config, self._dt(timestamp))
         self._last_out = out
         self.last_status = int(out.status)
-        if self.loop_db is not None and bool(out.is_keyframe):
-            self._on_keyframe()
+        if self.loop_db is not None:
+            if bool(out.is_keyframe):
+                self._on_keyframe()
+            # auto-relocalization: when PnP keeps failing and a reset is
+            # imminent, try recovering the pose against the loop database
+            # BEFORE the engine's terminal reset fires (the reference's
+            # only recovery is reset + re-init, SURVEY §3.5 — this
+            # exceeds parity)
+            elif (self.last_status == 1
+                  and int(self.state.pose_failures) >= 2):
+                self._try_autorelocalize()
         if self.last_status == 1:
             return np.asarray(out.pose_wc)
         return None
 
     # ------------------------------------------------------------------
     def _on_keyframe(self) -> None:
-        """Push the new keyframe into the loop database and query it."""
-        from alvaar_tpu.loopclosure.detector import db_add, detect_loop
+        """Push the new keyframe into the loop database, query it, and —
+        on a confirmed loop — apply a world-frame gauge correction
+        (reference pipeline lcdetector.cc:54-267 stops at detection; the
+        correction step exceeds parity, see apply_world_correction)."""
+        from alvaar_tpu.loopclosure.detector import (db_add, detect_loop,
+                                                     relocalize)
 
         st = self.state
         slot = int(st.cur_kf_slot)
@@ -153,38 +167,64 @@ class AlvaAR:
             self.loop_db, desc, st.lm_pos[lm],
             st.lm_is3d[lm] & valid, valid, kf_id, pose)
         self.last_loop = res if bool(res.found) else None
+        self.last_loop_correction = None
+        if self.last_loop is not None:
+            # geometric verification + correction: P3P the current frame
+            # against the matched entry's stored 3D landmarks
+            key, sub = jax.random.split(st.rng_key)
+            self.state = st = st._replace(rng_key=key)
+            r = relocalize(self.loop_db, res.entry, desc,
+                           self.camera.bearing(st.kf_obs_px[slot]), valid,
+                           sub,
+                           focal=0.5 * (self.camera.fx + self.camera.fy))
+            if bool(r.success):
+                from alvaar_tpu.worldmap.state import apply_world_correction
+                T_reloc_wc = SE3(r.pose.q, r.pose.t).inverse()
+                T_cur_cw = SE3(st.pose.q, st.pose.t)
+                dT = T_reloc_wc.compose(T_cur_cw)   # world_old → world_loop
+                self.state = apply_world_correction(st, dT)
+                self.last_loop_correction = np.asarray(dT.matrix())
 
     def relocalize(self) -> Optional[np.ndarray]:
         """Attempt pose recovery against the loop database using the
         current frame's tracked keypoints (descriptor match + P3P-LMedS).
         Returns a 4x4 T_wc or None.  This is a capability the reference
-        lacks — its only recovery is full reset + re-init (SURVEY §3.5)."""
+        lacks — its only recovery is full reset + re-init (SURVEY §3.5).
+
+        One batched program: candidate voting + top-k entry P3P under
+        vmap (loopclosure/detector.py relocalize_topk), not a per-entry
+        host loop."""
+        res = self._relocalize_solve()
+        if res is None or not bool(res.success):
+            return None
+        return np.asarray(SE3(res.pose.q, res.pose.t).inverse().matrix())
+
+    def _relocalize_solve(self):
         if self.loop_db is None or self._last_out is None:
             return None
-        from alvaar_tpu.loopclosure.detector import relocalize as _reloc
+        from alvaar_tpu.loopclosure.detector import relocalize_topk
 
         st = self.state
-        desc = st.lm_desc[st.kp_lm]
-        valid = st.kp_valid
-        bearings = self.camera.bearing(st.kp_und)
-        best = None
-        entries = range(min(int(self.loop_db.ptr),
-                            self.loop_db.kf_id.shape[0]))
-        import jax as _jax
-        key, sub = _jax.random.split(st.rng_key)
-        self.state = st._replace(rng_key=key)
-        for e in entries:
-            res = _reloc(self.loop_db, jnp.asarray(e), desc, bearings,
-                         valid, sub,
-                         focal=0.5 * (self.camera.fx + self.camera.fy))
-            if bool(res.success):
-                n = int(res.num_inliers)
-                if best is None or n > best[0]:
-                    best = (n, res)
-        if best is None:
-            return None
-        return np.asarray(SE3(best[1].pose.q, best[1].pose.t)
-                          .inverse().matrix())
+        key, sub = jax.random.split(st.rng_key)
+        self.state = st = st._replace(rng_key=key)
+        return relocalize_topk(
+            self.loop_db, st.lm_desc[st.kp_lm],
+            self.camera.bearing(st.kp_und), st.kp_valid, sub,
+            focal=0.5 * (self.camera.fx + self.camera.fy))
+
+    def _try_autorelocalize(self) -> bool:
+        """On impending tracking loss (consecutive PnP failures), snap the
+        engine's pose back to a database-recovered one so the next PnP
+        gets a loop-consistent prior instead of escalating to reset."""
+        res = self._relocalize_solve()
+        if res is None or not bool(res.success):
+            return False
+        self.state = self.state._replace(
+            pose=SE3(res.pose.q, res.pose.t),
+            vel=jnp.zeros_like(self.state.vel),
+            pose_failures=jnp.zeros_like(self.state.pose_failures),
+            p3p_req=jnp.asarray(True))
+        return True
 
     def find_camera_pose_with_imu(self, frame, orientation, motion=None,
                                   timestamp: Optional[float] = None
@@ -252,6 +292,35 @@ class AlvaAR:
         pts = np.asarray(self._last_out.points)
         valid = np.asarray(self._last_out.points_valid)
         return pts[valid].astype(np.int32)
+
+    def get_map_points(self, colored: bool = True):
+        """Export the current 3D map as a point cloud.
+
+        Returns (points [N, 3] float32 world positions, colors [N] uint8
+        grayscale) when ``colored`` (reference MapManager::getPointCloud,
+        map_manager.cpp:254-318 — its colored viz export), else just the
+        points."""
+        st = self.state
+        mask = np.asarray(st.lm_valid & st.lm_is3d)
+        pts = np.asarray(st.lm_pos)[mask]
+        if not colored:
+            return pts
+        colors = np.clip(np.asarray(st.lm_color)[mask], 0, 255
+                         ).astype(np.uint8)
+        return pts, colors
+
+    def save_map(self, path: str) -> None:
+        """Persist the full SLAM map to ``path`` (io/checkpoint.py)."""
+        from alvaar_tpu.io.checkpoint import save_map
+        save_map(path, self.state, self.config)
+
+    def load_map(self, path: str) -> None:
+        """Restore a map saved by :meth:`save_map`; tracking resumes
+        against it on the next frame (relocalize first if the camera
+        moved)."""
+        from alvaar_tpu.io.checkpoint import load_map
+        self.state = load_map(path, self.config)
+        self._last_ts = None
 
     def reset(self) -> None:
         """Full reset (reference system.cpp:42-55)."""

@@ -121,6 +121,38 @@ def reanchor_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
     return state._replace(lm_anchor=lm_anchor, lm_mxy=lm_mxy, lm_invd=lm_invd)
 
 
+def _push_descriptor_bags(state: MapState, desc, ok_tracked,
+                          cfg: SlamConfig):
+    """Append each tracked keypoint's fresh descriptor to its landmark's
+    ring bag and re-elect the bag medoid (min summed Hamming to the rest)
+    as the representative (reference MapPoint::addDesc +
+    most-representative selection, map_point.cpp:131-181).
+
+    Returns (lm_desc, lm_desc_bag, lm_desc_cnt)."""
+    L, G, _ = state.lm_desc_bag.shape
+    lm = state.kp_lm                                     # [K]
+    cnt = state.lm_desc_cnt[lm]                          # [K]
+    ring = cnt % G
+    bag_flat = masked_scatter_set(
+        state.lm_desc_bag.reshape(L * G, 8), lm * G + ring, desc, ok_tracked)
+    bag = bag_flat.reshape(L, G, 8)
+    cnt_new = masked_scatter_set(state.lm_desc_cnt, lm, cnt + 1, ok_tracked)
+
+    # medoid among the filled entries, only for the updated landmarks
+    bags_k = bag[lm]                                     # [K, G, 8]
+    n_k = jnp.minimum(cnt + 1, G)                        # [K] filled entries
+    x = bags_k[:, :, None, :] ^ bags_k[:, None, :, :]
+    d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), -1)  # [K,G,G]
+    filled = jnp.arange(G)[None, :] < n_k[:, None]       # [K, G]
+    sums = jnp.sum(jnp.where(filled[:, :, None] & filled[:, None, :], d, 0),
+                   axis=-1)
+    sums = jnp.where(filled, sums, jnp.iinfo(jnp.int32).max)
+    med = jnp.argmin(sums, axis=-1)                      # [K]
+    rep = jnp.take_along_axis(bags_k, med[:, None, None], axis=1)[:, 0]
+    lm_desc = masked_scatter_set(state.lm_desc, lm, rep, ok_tracked)
+    return lm_desc, bag, cnt_new
+
+
 def describe_and_detect(state: MapState, gray, cam: Camera,
                         cfg: SlamConfig) -> MapState:
     """ORB-describe the tracked keypoints, then fill empty grid cells with
@@ -128,11 +160,12 @@ def describe_and_detect(state: MapState, gray, cam: Camera,
     extractKeypoints: describe tracked, detect in free cells, add)."""
     slot = state.cur_kf_slot
 
-    # describe tracked keypoints; latest descriptor wins
+    # describe tracked keypoints; bag + medoid representative
     desc, _ = describe(gray, state.kp_px, state.kp_valid)
     ok_tracked = state.kp_valid & state.lm_valid[state.kp_lm]
-    lm_desc_all = masked_scatter_set(state.lm_desc, state.kp_lm, desc,
-                                     ok_tracked)
+    lm_desc_all, lm_bag, lm_cnt = _push_descriptor_bags(
+        state, desc, ok_tracked, cfg)
+    state = state._replace(lm_desc_bag=lm_bag, lm_desc_cnt=lm_cnt)
 
     # detect new corners in unoccupied cells
     det = detect_grid(gray, state.kp_px, state.kp_valid,
@@ -158,6 +191,19 @@ def describe_and_detect(state: MapState, gray, cam: Camera,
     lm_is3d = masked_scatter_set(state.lm_is3d, lm_slot,
                                  jnp.zeros_like(ok), ok)
     lm_desc2 = masked_scatter_set(lm_desc_all, lm_slot, new_desc, ok)
+    # fresh landmarks: seed the bag with the detection descriptor
+    L, G, _ = state.lm_desc_bag.shape
+    lm_bag2 = masked_scatter_set(
+        state.lm_desc_bag.reshape(L * G, 8), lm_slot * G, new_desc,
+        ok).reshape(L, G, 8)
+    lm_cnt2 = masked_scatter_set(state.lm_desc_cnt, lm_slot,
+                                 jnp.ones_like(lm_slot), ok)
+    # detection-time intensity for colored point-cloud export
+    # (reference map_manager.cpp:254-318 samples the keyframe image)
+    h, w = gray.shape
+    yi = jnp.clip(jnp.round(det.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(det.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    lm_color2 = masked_scatter_set(state.lm_color, lm_slot, gray[yi, xi], ok)
     # fresh landmark rows: recycled slots may hold stale incidence — reset
     fresh_rows = jnp.zeros((ok.shape[0],) + state.lm_obs.shape[1:],
                            bool).at[:, slot].set(True)
@@ -173,7 +219,9 @@ def describe_and_detect(state: MapState, gray, cam: Camera,
 
     return state._replace(
         kp_px=kp_px, kp_und=kp_und, kp_lm=kp_lm, kp_valid=kp_valid,
-        lm_valid=lm_valid, lm_is3d=lm_is3d, lm_desc=lm_desc2, lm_obs=lm_obs,
+        lm_valid=lm_valid, lm_is3d=lm_is3d, lm_desc=lm_desc2,
+        lm_desc_bag=lm_bag2, lm_desc_cnt=lm_cnt2, lm_color=lm_color2,
+        lm_obs=lm_obs,
         kf_obs_lm=kf_obs_lm, kf_obs_px=kf_obs_px, kf_obs_valid=kf_obs_valid)
 
 

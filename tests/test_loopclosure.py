@@ -114,3 +114,101 @@ class TestRelocalization:
         res = relocalize(db, jnp.asarray(0), random_descs(rng), bearings,
                          jnp.ones(K, bool), jax.random.PRNGKey(0), focal=500.0)
         assert not bool(res.success)
+
+
+class TestBatchedRelocalization:
+    def test_topk_finds_right_entry(self, rng):
+        """relocalize_topk must pick the correct entry out of a populated
+        database in ONE batched program."""
+        from alvaar_tpu.loopclosure.detector import relocalize_topk
+
+        db = db_init(32, K)
+        poses, descs, pts_all = [], [], []
+        for i in range(20):
+            p = random_pose(rng)
+            pts = scene_points(rng, K)
+            d = random_descs(rng)
+            poses.append(p); descs.append(d); pts_all.append(pts)
+            db = db_add(db, d, pts, jnp.ones(K, bool), jnp.ones(K, bool),
+                        jnp.asarray(i, jnp.int32), p)
+
+        target = 7
+        pose_q = poses[target].retract(jnp.asarray(
+            rng.normal(size=6) * 0.05, jnp.float32))
+        _, bearings, _ = observe(pose_q, CAM, pts_all[target],
+                                 noise_px=0.3, rng=rng)
+        q = perturb(rng, descs[target], bits=6)
+        res = relocalize_topk(db, q, bearings, jnp.ones(K, bool),
+                              jax.random.PRNGKey(1), focal=500.0)
+        assert bool(res.success)
+        ang, dt = pose_error(res.pose, pose_q)
+        assert ang < 1.0 and dt < 0.1
+
+    def test_topk_fails_on_garbage(self, rng):
+        from alvaar_tpu.loopclosure.detector import relocalize_topk
+
+        db, _ = build_db(rng, n_entries=20)
+        bearings = CAM.bearing(jnp.asarray(
+            rng.uniform([0, 0], [640, 480], (K, 2)), jnp.float32))
+        res = relocalize_topk(db, random_descs(rng), bearings,
+                              jnp.ones(K, bool), jax.random.PRNGKey(0),
+                              focal=500.0)
+        assert not bool(res.success)
+
+
+class TestWorldCorrection:
+    def test_gauge_alignment_consistency(self, rng):
+        """apply_world_correction must keep the anchored inverse-depth
+        parametrization consistent: recomputing landmark world positions
+        from the corrected poses reproduces the corrected lm_pos."""
+        from alvaar_tpu.config import SlamConfig
+        from alvaar_tpu.worldmap.state import (apply_world_correction,
+                                               init_map_state,
+                                               landmark_world_positions)
+
+        cfg = SlamConfig(width=128, height=96, cell_size=32, window_size=6,
+                         max_landmarks=64)
+        st = init_map_state(cfg)
+        W, L = 6, 64
+        qs = []
+        for _ in range(W):
+            qs.append(np.asarray(random_pose(rng).q))
+        st = st._replace(
+            kf_pose=SE3(jnp.asarray(np.stack(qs)),
+                        jnp.asarray(rng.normal(size=(W, 3)), jnp.float32)),
+            kf_valid=jnp.ones(W, bool),
+            lm_anchor=jnp.asarray(rng.integers(0, W, L), jnp.int32),
+            lm_mxy=jnp.asarray(rng.normal(0, 0.2, (L, 2)), jnp.float32),
+            lm_invd=jnp.asarray(1.0 / rng.uniform(2, 6, L), jnp.float32),
+            lm_valid=jnp.ones(L, bool), lm_is3d=jnp.ones(L, bool))
+        st = st._replace(lm_pos=landmark_world_positions(
+            st.kf_pose, st.lm_anchor, st.lm_mxy, st.lm_invd))
+
+        dT = random_pose(rng)
+        for s in (1.0, 1.3):
+            out = apply_world_correction(st, dT, scale=s)
+            recomputed = landmark_world_positions(
+                out.kf_pose, out.lm_anchor, out.lm_mxy, out.lm_invd)
+            np.testing.assert_allclose(np.asarray(recomputed),
+                                       np.asarray(out.lm_pos),
+                                       rtol=1e-4, atol=1e-4)
+            # and the direct sim3 action matches
+            expect = s * np.asarray(dT.rotate(st.lm_pos)) + np.asarray(dT.t)
+            np.testing.assert_allclose(np.asarray(out.lm_pos), expect,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_correction_snaps_current_pose(self, rng):
+        """dT built from a reloc result must map the current pose onto the
+        relocalized one (the facade's loop-correction contract)."""
+        from alvaar_tpu.config import SlamConfig
+        from alvaar_tpu.worldmap.state import (apply_world_correction,
+                                               init_map_state)
+
+        cfg = SlamConfig(width=128, height=96, cell_size=32, window_size=6,
+                         max_landmarks=64)
+        st = init_map_state(cfg)._replace(pose=random_pose(rng))
+        T_reloc_cw = random_pose(rng)
+        dT = T_reloc_cw.inverse().compose(st.pose)
+        out = apply_world_correction(st, dT)
+        ang, dt = pose_error(out.pose, T_reloc_cw)
+        assert ang < 1e-3 and dt < 1e-4
