@@ -60,6 +60,7 @@ class VideoReader:
         self.height = int(self._lib.vd_height(self._h))
         self.fps = float(self._lib.vd_fps(self._h))
         self.nframes = int(self._lib.vd_nframes(self._h))  # 0 if unknown
+        self._last_pts: Optional[float] = None
 
     def close(self) -> None:
         if getattr(self, "_h", None):
@@ -87,7 +88,16 @@ class VideoReader:
             return None
         if r < 0:
             raise IOError("video decode error")
-        return out, float(pts.value)
+        # containers with broken edit lists emit garbage/duplicate pts
+        # (the reference's own demo mp4 does: ~µs-scale deltas after the
+        # first frame); sanitize to a strictly-increasing clock, falling
+        # back to the nominal frame interval
+        t = float(pts.value)
+        step = 1.0 / self.fps if self.fps > 1e-6 else 1.0 / 30.0
+        if self._last_pts is not None and t <= self._last_pts + 0.1 * step:
+            t = self._last_pts + step
+        self._last_pts = t
+        return out, t
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, float]]:
         while True:

@@ -57,3 +57,24 @@ def test_iterates_to_eof_when_short():
     assert n > 20
     v.close()
     assert v.read() is None
+
+
+def test_video_capture_feeder():
+    """VideoCapture: background decode → FrameRing → ordered consumption
+    with monotonic timestamps (the utils.js capture-loop equivalent)."""
+    if not REF_VIDEO.exists():
+        pytest.skip("reference demo video not available")
+    try:
+        from alvaar_tpu.io.capture import VideoCapture
+        cap = VideoCapture(str(REF_VIDEO), capacity=4, max_frames=25)
+    except Exception as e:
+        pytest.skip(f"native decoder/ring unavailable: {e}")
+    frames = []
+    for gray, ts in cap.frames():
+        frames.append((gray, ts))
+    assert len(frames) == 25
+    stamps = [t for _, t in frames]
+    assert all(b > a for a, b in zip(stamps, stamps[1:]))
+    assert frames[0][0].shape == (cap.height, cap.width)
+    assert frames[0][0].std() > 5.0
+    cap.close()
