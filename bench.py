@@ -1,17 +1,27 @@
-"""Benchmark: monocular SLAM throughput per chip at 640x480.
+"""Benchmark: monocular SLAM throughput per chip (BASELINE.json targets).
 
-Measures BASELINE.json config 1 — the video.html per-frame workload
-(reference examples/public/video.html:148-195) — as device-side pipeline
-throughput: frames pre-staged in HBM, the full per-frame SLAM step
-(pyramid → two-stage KLT → PnP → [keyframe: detect/describe/triangulate/
-local BA]) iterated under one ``lax.scan``, so the number excludes host
-round-trips the production serving path doesn't make per frame.
+Headline metric (the ONE JSON line on stdout): aggregate multi-stream
+throughput at 640x480 — BASELINE configs 1+5 combined: B independent
+camera streams served on one chip by the split-phase batched step
+(track every frame for all streams, keyframe pipeline on a top-k
+sub-batch; parallel/multistream.py), frames pre-staged in HBM and the
+whole serving loop under one ``lax.scan``.  vs_baseline = fps / 500
+(the driver target: ≥500 frames/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = fps / 500 (the driver target: ≥500 frames/sec/chip).
-Also prints auxiliary lines (ATE, init frame) to stderr for humans.
+Auxiliary metrics (stderr, JSON-per-line for humans/CI):
+  * config 1 single-stream latency path: fps + ATE on the synthetic
+    golden trajectory (the video.html workload,
+    reference examples/public/video.html:148-195);
+  * config 2: findPlane on a 720p tabletop scene (250 RANSAC iters,
+    reference system.js:202 default);
+  * config 4: local BA at a 10k-landmark pool (reference budget ≤5 LM
+    iters + ≤10 ms, optimizer.cpp:251-262);
+  * multi-stream per-stream ATE parity vs the single-stream path.
+
+Usage: python bench.py [--streams B] [--frames N]
 """
 
+import argparse
 import json
 import sys
 import time
@@ -23,31 +33,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def aux(metric, value, unit, **kw):
+    log(json.dumps({"metric": metric, "value": round(float(value), 3),
+                    "unit": unit, **kw}))
 
-    sys.path.insert(0, "tests")
-    from render_scene import TwoPlaneScene, ate_rmse, trajectory
 
-    from alvaar_tpu import SlamConfig
+def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
     from alvaar_tpu.frontend.step import slam_step
-    from alvaar_tpu.geom.camera import Camera
     from alvaar_tpu.worldmap.state import init_map_state
+    from render_scene import ate_rmse
 
-    N = 120
-    cfg = SlamConfig()  # production 640x480, W=30, L=4096
-    cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
-
-    log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(42)
-    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height, fov=60.0,
-                          tex_scale=120.0)
-    gt = trajectory(N, step=0.04)
-    log(f"rendering {N} frames at {cfg.width}x{cfg.height}...")
-    frames = np.stack([scene.render(gt[i]) for i in range(N)])
-    frames_dev = jax.device_put(jnp.asarray(frames, jnp.float32))
-
+    N = frames_dev.shape[0]
     state0 = init_map_state(cfg)
 
     @jax.jit
@@ -57,42 +53,243 @@ def main():
             return state, (out.status, out.pose_wc)
         return jax.lax.scan(body, state, frames)
 
-    log("compiling full pipeline scan...")
+    log("compiling single-stream pipeline...")
     t0 = time.time()
-    final_state, (statuses, poses) = jax.block_until_ready(
-        run_all(state0, frames_dev))
-    log(f"compile+first run: {time.time() - t0:.1f}s")
-
-    # best-of-R: the TPU-relay environment shows minute-scale performance
-    # fluctuation; the best repetition is the hardware-capability number
+    _, (statuses, poses) = jax.block_until_ready(run_all(state0, frames_dev))
+    log(f"  compile+first run: {time.time() - t0:.1f}s")
     walls = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
-        final_state, (statuses, poses) = jax.block_until_ready(
-            run_all(state0, frames_dev))
+        out = jax.block_until_ready(run_all(state0, frames_dev))
         walls.append(time.time() - t0)
     wall = min(walls)
-    fps = N / wall
-    log(f"reps: {[f'{N / w:.1f}' for w in walls]} fps")
 
     statuses = np.asarray(statuses)
     poses = np.asarray(poses)
     idx = np.where(statuses == 1)[0]
-    est_t = poses[idx][:, :3, 3]
-    gt_t = gt[idx][:, :3, 3]
-    ate = ate_rmse(est_t, gt_t) if len(idx) >= 10 else float("nan")
-    track_len = np.linalg.norm(gt_t[-1] - gt_t[0]) if len(idx) else 0.0
+    ate = (ate_rmse(poses[idx][:, :3, 3], gt[idx][:, :3, 3])
+           if len(idx) >= 10 else float("nan"))
+    return N / wall, ate, len(idx)
 
-    log(f"tracked {len(idx)}/{N} frames, first track at frame "
-        f"{idx[0] if len(idx) else -1}")
-    log(f"ATE (sim3-aligned): {ate * 100:.2f} cm over {track_len:.2f} m")
-    log(f"throughput: {fps:.1f} frames/sec/chip ({wall / N * 1e3:.2f} ms/frame)")
+
+def bench_multistream(jax, jnp, cfg, cam, frames_np, gt, B, kf_slots,
+                      reps=3):
+    """frames_np: [M, H, W] rendered sequence; each stream gets a
+    staggered slice so keyframe demand spreads across frames."""
+    from alvaar_tpu.parallel.multistream import (init_multistream_state,
+                                                 make_multistream_scan)
+    from render_scene import ate_rmse
+
+    M = frames_np.shape[0]
+    stagger = 3
+    N = M - stagger * (B - 1)
+    offs = [stagger * b for b in range(B)]
+    seq = np.stack([frames_np[o:o + N] for o in offs], axis=1)  # [N, B, H, W]
+    frames_dev = jax.device_put(jnp.asarray(seq, jnp.float32))
+    dts = jnp.ones((N, B), jnp.float32)
+    states = init_multistream_state(cfg, B)
+
+    run = make_multistream_scan(cfg, cam, kf_slots=kf_slots)
+    log(f"compiling multi-stream scan (B={B}, kf_slots={kf_slots})...")
+    t0 = time.time()
+    _, (statuses, poses) = jax.block_until_ready(run(states, frames_dev, dts))
+    log(f"  compile+first run: {time.time() - t0:.1f}s")
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = jax.block_until_ready(run(states, frames_dev, dts))
+        walls.append(time.time() - t0)
+    wall = min(walls)
+
+    statuses = np.asarray(statuses)          # [N, B]
+    poses = np.asarray(poses)                # [N, B, 4, 4]
+    ates, tracked = [], []
+    for b in range(B):
+        idx = np.where(statuses[:, b] == 1)[0]
+        tracked.append(len(idx))
+        if len(idx) >= 10:
+            gt_b = gt[offs[b]:offs[b] + N]
+            ates.append(ate_rmse(poses[idx, b][:, :3, 3],
+                                 gt_b[idx][:, :3, 3]))
+    agg_fps = N * B / wall
+    return agg_fps, (float(np.median(ates)) if ates else float("nan")), \
+        int(np.median(tracked)), N
+
+
+def bench_real_video(jax, jnp, n_frames=300):
+    """Config 1 on the reference's own demo video (the exact input of
+    examples/public/video.html:148-195), via the native libav decoder.
+    Returns (fps, tracked, total) or None when video/decoder is absent."""
+    import os
+    path = "/root/reference/examples/public/assets/video.mp4"
+    if not os.path.exists(path):
+        return None
+    try:
+        from alvaar_tpu.io.video import VideoReader
+        v = VideoReader(path)
+    except Exception as e:
+        log(f"video decoder unavailable: {e}")
+        return None
+    from alvaar_tpu import AlvaAR
+    alva = AlvaAR(v.width, v.height, fov=45.0)
+    frames = []
+    for i, (gray, ts) in enumerate(v):
+        if i >= n_frames:
+            break
+        frames.append((gray, ts))
+    # warm-up/compile on the first frame
+    alva.find_camera_pose(frames[0][0], timestamp=frames[0][1])
+    alva.reset()
+    t0 = time.time()
+    tracked = 0
+    for gray, ts in frames:
+        pose = alva.find_camera_pose(gray, timestamp=ts)
+        tracked += pose is not None
+    wall = time.time() - t0
+    return len(frames) / wall, tracked, len(frames)
+
+
+def bench_plane_720p(jax, jnp):
+    """Config 2: findPlane on a 720p tabletop scene."""
+    from alvaar_tpu.config import SlamConfig
+    from alvaar_tpu.geom.camera import Camera
+    from alvaar_tpu.solvers.plane import find_plane_ransac
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    # tabletop: dominant horizontal plane at y=1 + clutter above it
+    pts = np.empty((n, 3), np.float32)
+    flat = rng.random(n) < 0.7
+    pts[:, 0] = rng.uniform(-2, 2, n)
+    pts[:, 2] = rng.uniform(1, 5, n)
+    pts[:, 1] = np.where(flat, 1.0 + rng.normal(0, 0.005, n),
+                         rng.uniform(0.2, 0.95, n))
+    valid = jnp.ones(n, bool)
+    cam_c = jnp.zeros(3, jnp.float32)
+
+    fn = jax.jit(lambda k, p, v, c: find_plane_ransac(
+        k, p, v, c, iters=250, min_points=32, max_tilt_deg=5.0,
+        inlier_scale=1.4))
+    key = jax.random.PRNGKey(0)
+    pts_d = jnp.asarray(pts)
+    res = jax.block_until_ready(fn(key, pts_d, valid, cam_c))
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        res = jax.block_until_ready(fn(key, pts_d, valid, cam_c))
+        walls.append(time.time() - t0)
+    return min(walls) * 1e3, bool(res.success)
+
+
+def bench_ba_10k(jax, jnp):
+    """Config 4: full local BA with a 10k-landmark pool."""
+    from alvaar_tpu.config import SlamConfig
+    from alvaar_tpu.geom.camera import Camera
+    from alvaar_tpu.geom.lie import SE3
+    from alvaar_tpu.solvers.ba import BAProblem, local_ba
+
+    cfg = SlamConfig(max_landmarks=10240)
+    W, K, L = cfg.window_size, cfg.max_keypoints, cfg.max_landmarks
+    cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+    rng = np.random.default_rng(0)
+    q = rng.normal(0, 1, (W, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    obs_lm = np.tile(rng.integers(0, L, (1, K)), (W, 1)).astype(np.int32)
+    prob = BAProblem(
+        poses=SE3(jnp.asarray(q),
+                  jnp.asarray(rng.normal(0, 0.5, (W, 3)), jnp.float32)),
+        kf_valid=jnp.ones(W, bool),
+        constant=jnp.asarray(np.arange(W) < 2),
+        anchor_kf=jnp.asarray(rng.integers(0, W, L), jnp.int32),
+        anchor_mxy=jnp.asarray(rng.normal(0, 0.3, (L, 2)), jnp.float32),
+        invdepth=jnp.asarray(1 / rng.uniform(2, 8, L), jnp.float32),
+        lm_valid=jnp.ones(L, bool),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_px=jnp.asarray(rng.uniform(20, 460, (W, K, 2)), jnp.float32),
+        obs_valid=jnp.asarray(rng.random((W, K)) < 0.6))
+    fn = jax.jit(lambda p: local_ba(p, cam))
+    jax.block_until_ready(fn(prob))
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(fn(prob))
+        walls.append(time.time() - t0)
+    return min(walls) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--kf-slots", type=int, default=None,
+                    help="keyframe sub-batch size (default: streams/6)")
+    ap.add_argument("--skip-aux", action="store_true")
+    args = ap.parse_args()
+    if args.kf_slots is None:
+        # measured optimum: slots just above the aggregate keyframe
+        # demand (~streams/6); B=16 S=3 -> 526 fps on v5e
+        args.kf_slots = max(3, -(-args.streams // 6))
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from render_scene import TwoPlaneScene, trajectory
+
+    from alvaar_tpu import SlamConfig
+    from alvaar_tpu.geom.camera import Camera
+
+    cfg = SlamConfig()  # production 640x480, W=30, L=4096
+    cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+    log(f"devices: {jax.devices()}")
+
+    rng = np.random.default_rng(42)
+    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height, fov=60.0,
+                          tex_scale=120.0)
+    M = args.frames + 3 * (args.streams - 1)
+    gt = trajectory(M, step=0.04)
+    log(f"rendering {M} frames at {cfg.width}x{cfg.height}...")
+    frames_np = np.stack([scene.render(gt[i]) for i in range(M)])
+
+    # ---- headline: multi-stream aggregate ----
+    agg_fps, ms_ate, ms_tracked, N = bench_multistream(
+        jax, jnp, cfg, cam, frames_np, gt, args.streams, args.kf_slots)
+    aux("multistream_ate_median", ms_ate * 100, "cm",
+        tracked=f"{ms_tracked}/{N}", streams=args.streams)
+    log(f"multi-stream: {agg_fps:.1f} frames/sec/chip aggregate "
+        f"({args.streams} streams, {agg_fps / args.streams:.1f} fps each)")
+
+    if not args.skip_aux:
+        # ---- config 1 single-stream latency path ----
+        fps1, ate1, tracked1 = bench_single(
+            jax, jnp, cfg, cam,
+            jax.device_put(jnp.asarray(frames_np[:args.frames],
+                                       jnp.float32)), gt)
+        aux("single_stream_fps", fps1, "frames/sec",
+            latency_ms=round(1e3 / fps1, 2))
+        aux("single_stream_ate", ate1 * 100, "cm",
+            tracked=f"{tracked1}/{args.frames}")
+
+        # ---- config 1 on the reference's real demo video ----
+        rv = bench_real_video(jax, jnp)
+        if rv is not None:
+            fps_v, tracked_v, total_v = rv
+            aux("real_video_fps", fps_v, "frames/sec",
+                tracked=f"{tracked_v}/{total_v}")
+
+        # ---- config 2: findPlane 720p ----
+        ms, ok = bench_plane_720p(jax, jnp)
+        aux("findplane_720p_latency", ms, "ms", iters=250, success=ok)
+
+        # ---- config 4: 10k-landmark BA ----
+        ms = bench_ba_10k(jax, jnp)
+        aux("local_ba_10k_landmarks", ms, "ms", budget_ms=10)
 
     print(json.dumps({
-        "metric": "slam_fps_per_chip_640x480",
-        "value": round(fps, 2),
+        "metric": "multistream_fps_per_chip_640x480",
+        "value": round(agg_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 500.0, 4),
+        "vs_baseline": round(agg_fps / 500.0, 4),
     }))
 
 
