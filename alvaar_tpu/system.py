@@ -58,7 +58,8 @@ class AlvaAR:
                  config: Optional[SlamConfig] = None,
                  camera: Optional[Camera] = None,
                  enable_loop_closure: bool = False,
-                 loop_db_capacity: int = 256):
+                 loop_db_capacity: int = 256,
+                 loop_delay: int = 50):
         self.config = (config or SlamConfig())
         if self.config.width != width or self.config.height != height:
             self.config = SlamConfig(
@@ -79,6 +80,7 @@ class AlvaAR:
         self.loop_db = None
         self.last_loop = None
         self.last_loop_correction = None
+        self.loop_delay = loop_delay
         if enable_loop_closure:
             from alvaar_tpu.loopclosure.detector import db_init
             self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
@@ -162,7 +164,8 @@ class AlvaAR:
         kf_id = st.kf_id[slot]
         pose = SE3(st.kf_pose.q[slot], st.kf_pose.t[slot])
         valid = st.kf_obs_valid[slot] & st.lm_valid[lm]
-        self.loop_db, res = detect_loop(self.loop_db, desc, valid, kf_id)
+        self.loop_db, res = detect_loop(self.loop_db, desc, valid, kf_id,
+                                        delay=self.loop_delay)
         self.loop_db = db_add(
             self.loop_db, desc, st.lm_pos[lm],
             st.lm_is3d[lm] & valid, valid, kf_id, pose)
@@ -207,10 +210,44 @@ class AlvaAR:
         st = self.state
         key, sub = jax.random.split(st.rng_key)
         self.state = st = st._replace(rng_key=key)
+        n_live = int(jnp.sum(st.kp_valid))
+        if n_live >= 20:
+            desc = st.lm_desc[st.kp_lm]
+            bearings = self.camera.bearing(st.kp_und)
+            valid = st.kp_valid
+        else:
+            # cold lost state (tracks gone): detect + describe fresh
+            # features on the last frame held in the state — the
+            # ORB-SLAM-style relocalization mode the stale keypoint
+            # table cannot serve
+            desc, bearings, valid = self._describe_current_frame()
         return relocalize_topk(
-            self.loop_db, st.lm_desc[st.kp_lm],
-            self.camera.bearing(st.kp_und), st.kp_valid, sub,
+            self.loop_db, desc, bearings, valid, sub,
             focal=0.5 * (self.camera.fx + self.camera.fy))
+
+    def _describe_current_frame(self):
+        """Fresh detection + description on the last processed frame
+        (state.prev_pyr[0]); returns (desc [K,8], bearings [K,3],
+        valid [K])."""
+        fn = getattr(self, "_describe_frame_fn", None)
+        if fn is None:
+            cfg, cam = self.config, self.camera
+
+            @jax.jit
+            def fn(gray):
+                from alvaar_tpu.ops.detect import detect_grid
+                from alvaar_tpu.ops.orb import describe
+                det = detect_grid(gray, jnp.zeros((1, 2), jnp.float32),
+                                  jnp.zeros((1,), bool),
+                                  cell=cfg.cell_size,
+                                  border=cfg.image_border,
+                                  quality=cfg.detector_quality)
+                desc, _ = describe(gray, det.xy, det.valid)
+                und = cam.undistort(det.xy)
+                return desc, cam.bearing(und), det.valid
+
+            self._describe_frame_fn = fn
+        return fn(self.state.prev_pyr[0])
 
     def _try_autorelocalize(self) -> bool:
         """On impending tracking loss (consecutive PnP failures), snap the

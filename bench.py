@@ -157,13 +157,14 @@ def bench_plane_720p(jax, jnp):
 
     rng = np.random.default_rng(5)
     n = 2048
-    # tabletop: dominant horizontal plane at y=1 + clutter above it
+    # tabletop: dominant plane normal to the solver's vertical (+z,
+    # find_plane_ransac's horizontality convention) + clutter in front
     pts = np.empty((n, 3), np.float32)
     flat = rng.random(n) < 0.7
     pts[:, 0] = rng.uniform(-2, 2, n)
-    pts[:, 2] = rng.uniform(1, 5, n)
-    pts[:, 1] = np.where(flat, 1.0 + rng.normal(0, 0.005, n),
-                         rng.uniform(0.2, 0.95, n))
+    pts[:, 1] = rng.uniform(-1.5, 1.5, n)
+    pts[:, 2] = np.where(flat, 3.0 + rng.normal(0, 0.005, n),
+                         rng.uniform(1.0, 2.8, n))
     valid = jnp.ones(n, bool)
     cam_c = jnp.zeros(3, jnp.float32)
 
@@ -179,6 +180,41 @@ def bench_plane_720p(jax, jnp):
         res = jax.block_until_ready(fn(key, pts_d, valid, cam_c))
         walls.append(time.time() - t0)
     return min(walls) * 1e3, bool(res.success)
+
+
+def bench_loop_closure(jax, jnp, capacity=256, kps=192):
+    """Config 3: loop-closure query latency against a FULL database —
+    one detect_loop (dense Hamming + voting + islands) + one db_add, the
+    per-keyframe cost of the long-loop workload (reference pipeline
+    lcdetector.cc:54-267)."""
+    from alvaar_tpu.loopclosure.detector import db_add, db_init, detect_loop
+    from alvaar_tpu.geom.lie import SE3
+
+    rng = np.random.default_rng(3)
+    db = db_init(capacity, kps)
+    descs = jnp.asarray(
+        rng.integers(0, 2 ** 32, (capacity, kps, 8), dtype=np.uint32))
+    pts = jnp.asarray(rng.normal(0, 2, (capacity, kps, 3)), jnp.float32)
+    ones = jnp.ones(kps, bool)
+    for i in range(capacity):
+        db = db_add(db, descs[i], pts[i], ones, ones,
+                    jnp.asarray(i, jnp.int32), SE3.identity())
+    jax.block_until_ready(db)
+    q = descs[10]
+    qid = jnp.asarray(capacity + 100, jnp.int32)
+
+    def one(db):
+        db2, res = detect_loop(db, q, ones, qid)
+        db2 = db_add(db2, q, pts[10], ones, ones, qid, SE3.identity())
+        return db2, res
+
+    db2, res = jax.block_until_ready(one(db))
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(one(db))
+        walls.append(time.time() - t0)
+    return min(walls) * 1e3, bool(res.found)
 
 
 def bench_ba_10k(jax, jnp):
@@ -280,6 +316,10 @@ def main():
         # ---- config 2: findPlane 720p ----
         ms, ok = bench_plane_720p(jax, jnp)
         aux("findplane_720p_latency", ms, "ms", iters=250, success=ok)
+
+        # ---- config 3: loop-closure query on a full 256-entry DB ----
+        ms, found = bench_loop_closure(jax, jnp)
+        aux("loop_query_latency_256kf", ms, "ms", detected=found)
 
         # ---- config 4: 10k-landmark BA ----
         ms = bench_ba_10k(jax, jnp)
