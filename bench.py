@@ -116,6 +116,42 @@ def bench_multistream(jax, jnp, cfg, cam, frames_np, gt, B, kf_slots,
         int(np.median(tracked)), N
 
 
+def bench_1080p_streams(jax, jnp, B=4, N=12):
+    """Config 5 resolution check: aggregate throughput for B concurrent
+    1080p streams on ONE chip (the full 64-stream target runs the same
+    program stream-sharded over a v5e slice — linear in chips, zero
+    collectives)."""
+    sys.path.insert(0, "tests")
+    from render_scene import TwoPlaneScene, trajectory
+
+    from alvaar_tpu import SlamConfig
+    from alvaar_tpu.geom.camera import Camera
+    from alvaar_tpu.parallel.multistream import (init_multistream_state,
+                                                 make_multistream_scan)
+
+    cfg = SlamConfig(width=1920, height=1080)
+    cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+    rng = np.random.default_rng(7)
+    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height,
+                          fov=60.0, tex_scale=120.0)
+    M = N + 3 * (B - 1)
+    gt = trajectory(M, step=0.04)
+    frames = np.stack([scene.render(gt[i]) for i in range(M)])
+    seq = np.stack([frames[3 * b:3 * b + N] for b in range(B)], axis=1)
+    frames_dev = jax.device_put(jnp.asarray(seq, jnp.float32))
+    dts = jnp.ones((N, B), jnp.float32)
+    states = init_multistream_state(cfg, B)
+    run = make_multistream_scan(cfg, cam, kf_slots=2)
+    log(f"compiling 1080p multi-stream scan (B={B})...")
+    jax.block_until_ready(run(states, frames_dev, dts))
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(run(states, frames_dev, dts))
+        walls.append(time.time() - t0)
+    return N * B / min(walls)
+
+
 def bench_real_video(jax, jnp, n_frames=300):
     """Config 1 on the reference's own demo video (the exact input of
     examples/public/video.html:148-195), via the native libav decoder.
@@ -316,6 +352,10 @@ def main():
         # ---- config 2: findPlane 720p ----
         ms, ok = bench_plane_720p(jax, jnp)
         aux("findplane_720p_latency", ms, "ms", iters=250, success=ok)
+
+        # ---- config 5 resolution: 1080p concurrent streams ----
+        fps_hd = bench_1080p_streams(jax, jnp)
+        aux("multistream_1080p_fps", fps_hd, "frames/sec", streams=4)
 
         # ---- config 3: loop-closure query on a full 256-entry DB ----
         ms, found = bench_loop_closure(jax, jnp)
