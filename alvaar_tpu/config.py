@@ -84,6 +84,11 @@ class SlamConfig:
 
     # ---- bootstrap gates (state.hpp:37, visual_frontend.cpp:56-60) --------
     init_parallax_px: float = 40.0
+    # Keyframe-cadence parallax threshold; the reference reuses the
+    # bootstrap constant (visual_frontend.cpp:587 minAvgRotationParallax_)
+    # — None keeps that parity.  Deep scenes want a lower cadence gate
+    # than the bootstrap-baseline gate (docs/ROADMAP.md accuracy notes).
+    kf_parallax_px: float | None = None
     min_init_keypoints: int = 50
     max_pose_failures: int = 3
 

