@@ -98,8 +98,19 @@ def refine_relative_pose(pose_01: SE3, inliers, f0, f1, thresh, valid):
     'local optimization' step after RANSAC).  Rows outside the inlier
     set are zeroed — zero rows do not perturb the null space of the
     [N, 9] system.  Keeps the refit only if it scores at least as many
-    inliers as the input pose.  Returns (pose_01, inliers, count)."""
+    inliers as the input pose AND the system has a UNIQUE null direction:
+    a (near-)coplanar inlier set leaves a multi-dimensional family of
+    essential matrices that all fit the inliers — a refit drawn from it
+    passes the inlier guard with a wrong pose (the planar-degeneracy
+    failure of all linear F/E estimators; the minimal 5-point solver
+    handles planar scenes, so RANSAC's winner is kept in that case).
+    Returns (pose_01, inliers, count)."""
     w = inliers.astype(f0.dtype)
+    A = jnp.einsum("mi,mj->mij", f1 * w[:, None],
+                   f0 * w[:, None]).reshape(-1, 9)
+    svals = jnp.linalg.svd(A, compute_uv=False)
+    # rank gap: the 8th singular value must stand clear of the null space
+    well_posed = svals[7] > 1e-4 * svals[0].clip(1e-12)
     E = essential_from_8pt(f0 * w[:, None], f1 * w[:, None])
     R4, t4 = decompose_essential(E)                     # [4, 3, 3]
     pose_10 = SE3(matrix_to_quat(R4), t4)
@@ -114,11 +125,12 @@ def refine_relative_pose(pose_01: SE3, inliers, f0, f1, thresh, valid):
     inl0 = (err0 < thresh) & pos0 & valid[None]
     n0 = jnp.sum(inl0[0])
 
-    better = counts[b] >= n0
+    better = (counts[b] >= n0) & well_posed
     pose = jax.tree.map(
         lambda a, c: jnp.where(better, a[b], c), cand_01, pose_01)
     inliers = jnp.where(better, inl[b], inl0[0])
-    return pose, inliers, jnp.maximum(counts[b], n0)
+    num = jnp.where(better, counts[b], n0)
+    return pose, inliers, num
 
 
 def essential_ransac(key, f0, f1, valid, *, focal, iters: int = 100,

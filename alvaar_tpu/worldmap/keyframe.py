@@ -359,12 +359,20 @@ def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
 
     # gauge/constant policy (reference optimizer.cpp:94-107,235-247):
     # low-covisibility keyframes are constant; the two oldest live ones
-    # are always constant.
+    # are always constant.  Divergence (document-and-diverge): with only
+    # TWO live keyframes (the bootstrap pair) the second-oldest stays
+    # FREE — otherwise the init baseline direction is frozen forever and
+    # a skewed essential bootstrap can never be repaired (the rotation
+    # gauge + reprojection keep the problem well-posed; monocular scale
+    # is held by LM damping).
     score = covis[:, slot]
     constant = (score < cfg.ba_min_covisibility) & state.kf_valid
     ids = jnp.where(state.kf_valid, state.kf_id, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(ids)
-    constant = constant.at[order[0]].set(True).at[order[1]].set(True)
+    n_live = jnp.sum(state.kf_valid)
+    constant = constant.at[order[0]].set(True)
+    constant = constant.at[order[1]].set(
+        jnp.where(n_live >= 3, True, constant[order[1]]))
     constant = constant | ~state.kf_valid
 
     obs_lm = state.kf_obs_lm
@@ -484,7 +492,10 @@ def create_keyframe(state: MapState, gray, cam: Camera,
         ((kf_idx == 1) & (n3d_now < 30))
         | ((kf_idx < 10) & (kf_idx >= 2) & (n3d_now < 3)))
 
-    run_ba = (kf_idx >= 2) & (n3d_now > 0) & ~bad_boot
+    # BA from the SECOND keyframe on (the bootstrap pair gets a two-view
+    # refinement pass the reference never does — its first local BA
+    # waits for the third keyframe)
+    run_ba = (kf_idx >= 1) & (n3d_now > 0) & ~bad_boot
     state = jax.lax.cond(
         run_ba,
         lambda s: run_local_ba(s, cam, cfg),
