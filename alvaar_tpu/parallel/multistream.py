@@ -99,13 +99,67 @@ def _gated_subbatch(states: MapState, flags, phase_fn, slots: int):
     return states, served
 
 
+def loopclosure_phase(state: MapState, db, cam: Camera, cfg: SlamConfig,
+                      delay: int = 50):
+    """Per-keyframe loop-closure step for batched serving: query the
+    stream's device-resident database with the new keyframe, insert it,
+    geometrically verify a hit with P3P against the stored landmarks,
+    and apply the sim3 world correction on success — the device-side
+    equivalent of the facade's _on_keyframe + correction path.
+
+    Returns (state, db, loop_found)."""
+    from alvaar_tpu.geom.lie import SE3
+    from alvaar_tpu.loopclosure.detector import (db_add, detect_loop,
+                                                 relocalize)
+    from alvaar_tpu.worldmap.state import apply_world_correction
+
+    slot = state.cur_kf_slot
+    lm = state.kf_obs_lm[slot]
+    desc = state.lm_desc[lm]
+    valid = state.kf_obs_valid[slot] & state.lm_valid[lm]
+    kf_id = state.kf_id[slot]
+    pose = jax.tree.map(lambda x: x[slot], state.kf_pose)
+
+    db, res = detect_loop(db, desc, valid, kf_id, delay=delay)
+    db = db_add(db, desc, state.lm_pos[lm], state.lm_is3d[lm] & valid,
+                valid, kf_id, pose)
+
+    key, sub = jax.random.split(state.rng_key)
+    state = state._replace(rng_key=key)
+    r = relocalize(db, res.entry, desc,
+                   cam.bearing(state.kf_obs_px[slot]), valid, sub,
+                   focal=0.5 * (cam.fx + cam.fy))
+    confirm = res.found & r.success
+    T_reloc_wc = SE3(r.pose.q, r.pose.t).inverse()
+    dT = T_reloc_wc.compose(SE3(state.pose.q, state.pose.t))
+    corrected = apply_world_correction(state, dT)
+    state = jax.tree.map(lambda a, c: jnp.where(confirm, a, c),
+                         corrected, state)
+    return state, db, confirm
+
+
+def init_multistream_loopdbs(cfg: SlamConfig, num_streams: int,
+                             capacity: int = 256):
+    """Stacked per-stream LoopDB with a leading [num_streams] axis."""
+    from alvaar_tpu.loopclosure.detector import db_init
+    base = db_init(capacity, cfg.max_keypoints)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (num_streams,) + x.shape).copy(), base)
+
+
 def multistream_step_local(states: MapState, frames, dts, cam: Camera,
-                           cfg: SlamConfig, kf_slots: int):
+                           cfg: SlamConfig, kf_slots: int, dbs=None,
+                           loop_delay: int = 50):
     """One frame for a local shard of b streams: batched track (heavy
     RANSAC branches compiled OUT), then three gated sub-batch phases —
     P3P recovery, essential bootstrap, keyframe pipeline — then batched
     finalize.  Pure function of fixed shapes — usable directly (single
-    host) or inside shard_map (mesh)."""
+    host) or inside shard_map (mesh).
+
+    With ``dbs`` (a stacked per-stream LoopDB), loop-closure detection +
+    verification + sim3 correction run inside the keyframe sub-batch at
+    keyframe cadence; returns (states, dbs, outs) instead of
+    (states, outs)."""
     b = frames.shape[0]
 
     states, fl = jax.vmap(
@@ -135,16 +189,38 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
     _, idx = jax.lax.top_k(score, S)
     active = score[idx] > 0.0
 
-    def serve(states: MapState) -> MapState:
-        sub = jax.tree.map(lambda x: x[idx], states)
-        sub_kf = jax.vmap(lambda s: keyframe_phase(s, cam, cfg))(sub)
-        merged = jax.tree.map(partial(_row_select, active), sub_kf, sub)
-        return jax.tree.map(
-            lambda full, m: full.at[idx].set(m, mode="drop",
-                                             unique_indices=True),
-            states, merged)
+    if dbs is None:
+        def serve(states: MapState) -> MapState:
+            sub = jax.tree.map(lambda x: x[idx], states)
+            sub_kf = jax.vmap(lambda s: keyframe_phase(s, cam, cfg))(sub)
+            merged = jax.tree.map(partial(_row_select, active), sub_kf, sub)
+            return jax.tree.map(
+                lambda full, m: full.at[idx].set(m, mode="drop",
+                                                 unique_indices=True),
+                states, merged)
 
-    states = jax.lax.cond(jnp.any(active), serve, lambda s: s, states)
+        states = jax.lax.cond(jnp.any(active), serve, lambda s: s, states)
+    else:
+        def serve_lc(args):
+            states, dbs = args
+            sub = jax.tree.map(lambda x: x[idx], states)
+            sub_db = jax.tree.map(lambda x: x[idx], dbs)
+            sub_kf = jax.vmap(lambda s: keyframe_phase(s, cam, cfg))(sub)
+            sub_kf, sub_db2, _ = jax.vmap(
+                lambda s, d: loopclosure_phase(s, d, cam, cfg,
+                                               delay=loop_delay)
+            )(sub_kf, sub_db)
+            m_st = jax.tree.map(partial(_row_select, active), sub_kf, sub)
+            m_db = jax.tree.map(partial(_row_select, active), sub_db2,
+                                sub_db)
+            scatter = lambda full, m: full.at[idx].set(
+                m, mode="drop", unique_indices=True)
+            return (jax.tree.map(scatter, states, m_st),
+                    jax.tree.map(scatter, dbs, m_db))
+
+        states, dbs = jax.lax.cond(jnp.any(active), serve_lc,
+                                   lambda a: a, (states, dbs))
+
     served = jnp.zeros((b,), bool).at[idx].set(active, mode="drop")
     states = states._replace(kf_pending=req & ~served)
 
@@ -158,25 +234,49 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
     states, _ = _gated_subbatch(
         states, states.reset_requested,
         lambda s: reset_map_state(s, cfg), max(2, kf_slots // 2))
-    return states, outs
+    if dbs is None:
+        return states, outs
+    return states, dbs, outs
 
 
 def make_multistream_step(cfg: SlamConfig, cam: Camera, mesh: Mesh,
-                          axis: str = "streams", kf_slots: int = 4):
+                          axis: str = "streams", kf_slots: int = 4,
+                          loop_closure: bool = False, loop_delay: int = 50):
     """Build the sharded batched step: (states [B,...], frames [B,H,W],
     dts [B]) → (states, outputs), with B sharded over ``axis`` of
     ``mesh``.  ``kf_slots`` = keyframe sub-batch size PER DEVICE; the
     aggregate keyframe rate a device can sustain is kf_slots per frame
-    (typical demand is ~b/6 for b local streams)."""
+    (typical demand is ~b/6 for b local streams).
+
+    With ``loop_closure``, the returned callable takes and returns a
+    stacked per-stream LoopDB (init_multistream_loopdbs) as its second
+    argument: ``(states, dbs, frames, dts=None) → (states, dbs, outs)``;
+    detection/verification/sim3 correction run inside the keyframe
+    sub-batch."""
+    spec = P(axis)
+    # check_vma off: the step's lax.cond branches mix replicated constants
+    # (reset path) with stream-varying data, which the varying-axis checker
+    # rejects; the map is embarrassingly parallel so the check buys nothing.
+    if loop_closure:
+        def local_lc(states: MapState, dbs, frames, dts):
+            return multistream_step_local(states, frames, dts, cam, cfg,
+                                          kf_slots, dbs, loop_delay)
+
+        step_lc = jax.jit(jax.shard_map(
+            local_lc, mesh=mesh, in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, spec), check_vma=False))
+
+        def run_lc(states: MapState, dbs, frames, dts=None):
+            if dts is None:
+                dts = jnp.ones((frames.shape[0],), frames.dtype)
+            return step_lc(states, dbs, frames, dts)
+
+        return run_lc
 
     def local(states: MapState, frames, dts):
         return multistream_step_local(states, frames, dts, cam, cfg,
                                       kf_slots)
 
-    spec = P(axis)
-    # check_vma off: the step's lax.cond branches mix replicated constants
-    # (reset path) with stream-varying data, which the varying-axis checker
-    # rejects; the map is embarrassingly parallel so the check buys nothing.
     step = jax.jit(jax.shard_map(local, mesh=mesh,
                                  in_specs=(spec, spec, spec),
                                  out_specs=(spec, spec), check_vma=False))

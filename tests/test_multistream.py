@@ -122,3 +122,50 @@ class TestKeyframeScheduler:
         states, (statuses, poses) = run(states, frames, dts)
         assert statuses.shape == (N, B)
         assert poses.shape == (N, B, 4, 4)
+
+
+class TestServingLoopClosure:
+    def test_loopclosure_step_runs_and_detects(self, mesh, rng):
+        """Batched serving with per-stream loop databases: streams fed an
+        out-and-back revisit trajectory must detect loops inside the
+        gated keyframe sub-batch and keep tracking."""
+        from alvaar_tpu.parallel.multistream import init_multistream_loopdbs
+        from tests.render_scene import TwoPlaneScene, trajectory
+
+        B = 8
+        cfg = SlamConfig(width=240, height=180, cell_size=20, window_size=8,
+                         max_landmarks=320, ransac_iters=40, ba_iters=2,
+                         pyramid_levels=2, init_parallax_px=15.0,
+                         kf_parallax_px=8.0, min_init_keypoints=10)
+        cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+        scene = TwoPlaneScene(np.random.default_rng(4), width=cfg.width,
+                              height=cfg.height, fov=60.0, tex_scale=120.0)
+        fwd = trajectory(22, step=0.05)
+        gt = np.concatenate([fwd, fwd[::-1][1:]], axis=0)
+        frames = np.stack([scene.render(gt[i]) for i in range(len(gt))])
+
+        states = shard_states(init_multistream_state(cfg, B), mesh)
+        dbs = shard_states(init_multistream_loopdbs(cfg, B, capacity=32),
+                           mesh)
+        spec = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("streams"))
+        step = make_multistream_step(cfg, cam, mesh, kf_slots=2,
+                                     loop_closure=True, loop_delay=3)
+        statuses = []
+        for i in range(len(gt)):
+            f = jax.device_put(jnp.broadcast_to(
+                jnp.asarray(frames[i], jnp.float32),
+                (B, cfg.height, cfg.width)), spec)
+            states, dbs, out = step(states, dbs, f)
+            statuses.append(np.asarray(out.status))
+        statuses = np.stack(statuses)
+        for b in range(B):
+            assert 1 in statuses[:, b], f"stream {b} never tracked"
+        # databases were populated (keyframes inserted); a stream that
+        # reset mid-run may have fewer entries
+        n_entries = np.asarray((dbs.kf_id >= 0).sum(axis=1))
+        assert (n_entries >= 2).all(), f"DB starvation: {n_entries}"
+        assert int(np.median(n_entries)) >= 3, f"DB starvation: {n_entries}"
+        # at least one stream registered a loop hit (last_match set)
+        assert (np.asarray(dbs.last_match) >= 0).any(), \
+            f"no loop registered: last_match={np.asarray(dbs.last_match)}"
