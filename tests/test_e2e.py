@@ -47,10 +47,12 @@ class TestEndToEnd:
         est_t = np.stack([poses[i][:3, 3] for i in idx])
         gt_t = gt[idx][:, :3, 3]
         ate = ate_rmse(est_t, gt_t)
-        # trajectory spans ~1.6 m; young-map drift between keyframes caps
-        # accuracy until local-map matching lands (reference
-        # mapper.cpp:293-588) — tighten this bar as that lands
-        assert ate < 0.04, f"ATE {ate:.4f} m too high"
+        track_len = np.linalg.norm(gt_t[-1] - gt_t[0])
+        # the BASELINE 1%-class bar (measured ~0.45% on this seed after
+        # the bootstrap refit + two-view BA landed; multi-seed spread in
+        # tests/test_accuracy_sweep.py)
+        assert ate < 0.01 * track_len, \
+            f"ATE {ate:.4f} m over {track_len:.2f} m (≥1%)"
 
     def test_frame_points(self, scene_and_run):
         _, _, slam, _, _ = scene_and_run
