@@ -61,6 +61,9 @@ class SlamConfig:
     init_min_inliers: int = 10   # 5-pt essential gate (multi_view_geometry.cpp:283)
     use_five_point: bool = True  # Nister 5-pt minimal solver at bootstrap
                                  # (reference fivept_nister; False = 8-point)
+    use_homography_init: bool = True  # ORB-SLAM-style H/E model selection
+                                      # at bootstrap (beyond the reference's
+                                      # essential-only init)
     p3p_min_inliers: int = 5     # p3p gate (visual_frontend.cpp:304-357)
     use_p3p: bool = True         # reference system.cpp:19
 

@@ -231,16 +231,33 @@ def _try_essential(state: MapState, cam: Camera, cfg: SlamConfig, key):
             st.kf_obs_valid[slot] & st.kp_valid
         f_kf = cam.bearing(st.kf_obs_px[slot])
         f_cur = cam.bearing(st.kp_und)
+        focal = 0.5 * (cam.fx + cam.fy)
+        k_e, k_h = jax.random.split(key)
         if cfg.use_five_point:
             from alvaar_tpu.solvers.fivept import essential_ransac_5pt
             solver = essential_ransac_5pt
         else:
             solver = essential_ransac
-        r = solver(key, f_kf, f_cur, same,
-                   focal=0.5 * (cam.fx + cam.fy),
+        r = solver(k_e, f_kf, f_cur, same,
+                   focal=focal,
                    iters=cfg.ransac_iters,
                    err_px=cfg.ransac_err_px,
                    min_inliers=cfg.init_min_inliers)
+        if cfg.use_homography_init:
+            # ORB-SLAM-style model selection (beyond the reference's
+            # 5-pt-only bootstrap): a planar-dominant scene is better
+            # explained by a homography; both models are scored with
+            # the same triangulation/cheirality/angular metric, so the
+            # inlier counts compare directly
+            from alvaar_tpu.solvers.homography import homography_ransac
+            rh, _ = homography_ransac(k_h, f_kf, f_cur, same,
+                                      focal=focal,
+                                      iters=cfg.ransac_iters,
+                                      err_px=cfg.ransac_err_px,
+                                      min_inliers=cfg.init_min_inliers)
+            use_h = rh.success & (rh.num_inliers > r.num_inliers)
+            r = jax.tree.map(
+                lambda a, b: jnp.where(use_h, a, b), rh, r)
         # r.pose is T_kf_cur = T_wc of the current frame (kf0 at identity)
         pose_cw = r.pose.inverse()
         new_pose = jax.tree.map(lambda a, b: jnp.where(r.success, a, b),
