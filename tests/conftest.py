@@ -23,6 +23,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules whose tests compile + run full end-to-end pipelines (minutes each on
+# the single-core CPU host). They form the "slow" tier; CI / inner-loop runs
+# use `pytest -m "not slow"` (<5 min), the full tier runs everything.
+_SLOW_MODULES = {
+    "test_e2e",
+    "test_loop_e2e",
+    "test_multistream",
+    "test_accuracy_sweep",
+    "test_checkpoint",
+    "test_pallas_klt",
+    "test_system_extra",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
