@@ -51,6 +51,59 @@ def pose_to_three(T_wc: np.ndarray) -> tuple:
     return quat_xyzw, pos
 
 
+class PendingResult:
+    """Deferred per-frame result from :meth:`AlvaAR.find_camera_pose_async`.
+
+    Holds device-resident outputs; nothing syncs until a property is read.
+    This is the TPU-native shape of the reference's per-frame contract
+    (reference src/system.js:173-199): the work is dispatched on the call,
+    the readback happens when the caller looks — so a caller that reads
+    results one frame late (or in batches) never pays the host↔device
+    round-trip latency in the frame loop."""
+
+    __slots__ = ("_packed", "_points", "_points_valid", "_np")
+
+    def __init__(self, packed, points, points_valid):
+        self._packed = packed
+        self._points = points
+        self._points_valid = points_valid
+        self._np = None
+
+    def _sync(self):
+        if self._np is None:
+            self._np = np.asarray(self._packed)
+        return self._np
+
+    @property
+    def status(self) -> int:
+        return int(self._sync()[0])
+
+    @property
+    def pose(self) -> Optional[np.ndarray]:
+        """4x4 T_wc when tracking (status 1), else None."""
+        p = self._sync()
+        if int(p[0]) != 1:
+            return None
+        return p[1:17].reshape(4, 4).astype(np.float32)
+
+    @property
+    def num_tracked(self) -> int:
+        return int(self._sync()[17])
+
+    @property
+    def num_3d(self) -> int:
+        return int(self._sync()[18])
+
+    @property
+    def is_keyframe(self) -> bool:
+        return bool(self._sync()[19] > 0.5)
+
+    def frame_points(self) -> np.ndarray:
+        pts = np.asarray(self._points)
+        valid = np.asarray(self._points_valid)
+        return pts[valid].astype(np.int32)
+
+
 class AlvaAR:
     """Monocular visual SLAM with the AlvaAR API, TPU-native inside."""
 
@@ -86,6 +139,8 @@ class AlvaAR:
             self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
 
         self._find_plane_cache = {}
+        self._step_cache = {}
+        self._scan_cache = {}
 
     def _find_plane(self, iters: int):
         """Per-iteration-count jitted plane solver (iters is static)."""
@@ -107,6 +162,46 @@ class AlvaAR:
             return rgba_to_gray(frame)
         return frame.astype(jnp.float32)
 
+    def _get_step(self, frame_np):
+        """Jitted per-frame step for this frame layout: donated state (the
+        map stays in the same HBM buffers across frames), device-side
+        gray conversion, and ONE small packed output so a synchronous
+        caller pays a single readback round-trip.  packed[20] f32 =
+        [status, pose(16, row-major), num_tracked, num_3d, is_keyframe]."""
+        key = (frame_np.shape, str(frame_np.dtype))
+        fn = self._step_cache.get(key)
+        if fn is None:
+            cfg, cam = self.config, self.camera
+            ndim = len(frame_np.shape)
+
+            def step(state, frame, dt):
+                if ndim == 3:
+                    gray = rgba_to_gray(frame)
+                else:
+                    gray = frame.astype(jnp.float32)
+                state, out = slam_step(state, gray, cam, cfg, dt)
+                packed = jnp.concatenate([
+                    out.status[None].astype(jnp.float32),
+                    out.pose_wc.reshape(-1),
+                    out.num_tracked[None].astype(jnp.float32),
+                    out.num_3d[None].astype(jnp.float32),
+                    out.is_keyframe[None].astype(jnp.float32)])
+                return state, packed, out.points, out.points_valid
+
+            fn = jax.jit(step, donate_argnums=(0,))
+            self._step_cache[key] = fn
+        return fn
+
+    def _dispatch(self, frame, timestamp) -> PendingResult:
+        frame_np = np.asarray(frame)
+        step = self._get_step(frame_np)
+        dt = jnp.float32(self._dt(timestamp))
+        self.state, packed, pts, ptsv = step(
+            self.state, jnp.asarray(frame_np), dt)
+        res = PendingResult(packed, pts, ptsv)
+        self._last_out = res
+        return res
+
     def _dt(self, timestamp: Optional[float]) -> float:
         """Inter-frame dt from caller timestamps (seconds); 1.0 per frame
         when the caller provides none.  The reference stamps frames with
@@ -119,6 +214,13 @@ class AlvaAR:
         self._last_ts = float(timestamp)
         return dt if dt > 0 else 1.0
 
+    @property
+    def last_status(self) -> int:
+        """Status of the last processed frame (1 tracking / 2 reset /
+        3 initializing; reference system.cpp:163-174).  Reading this on a
+        pending async result synchronizes it."""
+        return self._last_out.status if self._last_out is not None else 0
+
     def find_camera_pose(self, frame,
                          timestamp: Optional[float] = None
                          ) -> Optional[np.ndarray]:
@@ -127,26 +229,102 @@ class AlvaAR:
         system.js:179-199 returns the pose only on status 1).
 
         ``timestamp``: frame time in seconds; enables dt-scaled
-        constant-velocity extrapolation under frame drops."""
-        gray = self._to_gray(frame)
-        self.state, out = slam_step(self.state, gray, self.camera,
-                                    self.config, self._dt(timestamp))
-        self._last_out = out
-        self.last_status = int(out.status)
-        if self.loop_db is not None:
-            if bool(out.is_keyframe):
-                self._on_keyframe()
-            # auto-relocalization: when PnP keeps failing and a reset is
-            # imminent, try recovering the pose against the loop database
-            # BEFORE the engine's terminal reset fires (the reference's
-            # only recovery is reset + re-init, SURVEY §3.5 — this
-            # exceeds parity)
-            elif (self.last_status == 1
-                  and int(self.state.pose_failures) >= 2):
-                self._try_autorelocalize()
-        if self.last_status == 1:
-            return np.asarray(out.pose_wc)
-        return None
+        constant-velocity extrapolation under frame drops.
+
+        This call is synchronous (pose or None decided before return) and
+        costs one host↔device round-trip.  Latency-insensitive callers
+        should use :meth:`find_camera_pose_async` or
+        :meth:`process_frames`, which pipeline the device work."""
+        res = self._dispatch(frame, timestamp)
+        self._loop_closure_hooks(res)
+        return res.pose
+
+    def find_camera_pose_async(self, frame,
+                               timestamp: Optional[float] = None
+                               ) -> PendingResult:
+        """Dispatch one SLAM iteration WITHOUT waiting for the result.
+
+        Returns a :class:`PendingResult`; reading any of its properties
+        synchronizes.  Back-to-back calls pipeline host dispatch over
+        device execution, so the frame loop runs at device speed instead
+        of round-trip speed.  With loop closure enabled, keyframe
+        bookkeeping needs the keyframe flag each frame, which makes this
+        equivalent to the synchronous call."""
+        res = self._dispatch(frame, timestamp)
+        self._loop_closure_hooks(res)
+        return res
+
+    def process_frames(self, frames, timestamps=None, chunk: int = 32):
+        """Run SLAM over a frame sequence at full device throughput.
+
+        ``frames``: [N, H, W] gray or [N, H, W, 4] RGBA array (or list of
+        frames).  Frames are staged to the device in ``chunk``-sized
+        batches and the per-frame recurrence runs under one ``lax.scan``
+        per batch — the config-1 "video.html workload" shape
+        (reference examples/public/video.html:148-195) with the per-call
+        ABI costs amortized away.
+
+        Returns (statuses [N] int32, poses [N, 4, 4] float32); pose rows
+        are only meaningful where status == 1."""
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        if timestamps is None:
+            dts = np.ones(n, np.float32)
+        else:
+            ts = np.asarray(timestamps, np.float64)
+            dts = np.concatenate([[1.0], np.diff(ts)]).astype(np.float32)
+            dts[dts <= 0] = 1.0
+            self._last_ts = float(ts[-1])
+        statuses, poses = [], []
+        for lo in range(0, n, chunk):
+            fr = frames[lo:lo + chunk]
+            scan = self._get_scan(fr)
+            self.state, (st, po) = scan(self.state, jnp.asarray(fr),
+                                        jnp.asarray(dts[lo:lo + chunk]))
+            statuses.append(st)
+            poses.append(po)
+        self._last_out = None
+        statuses = np.concatenate([np.asarray(s) for s in statuses])
+        poses = np.concatenate([np.asarray(p) for p in poses])
+        return statuses, poses
+
+    def _get_scan(self, frames_np):
+        """Jitted chunk scan keyed by chunk layout (donated state)."""
+        key = (frames_np.shape, str(frames_np.dtype))
+        fn = self._scan_cache.get(key)
+        if fn is None:
+            cfg, cam = self.config, self.camera
+            ndim = len(frames_np.shape) - 1
+
+            def body(state, inp):
+                frame, dt = inp
+                if ndim == 3:
+                    gray = rgba_to_gray(frame)
+                else:
+                    gray = frame.astype(jnp.float32)
+                state, out = slam_step(state, gray, cam, cfg, dt)
+                return state, (out.status, out.pose_wc)
+
+            def run(state, frames, dts):
+                return jax.lax.scan(body, state, (frames, dts))
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            self._scan_cache[key] = fn
+        return fn
+
+    def _loop_closure_hooks(self, res: PendingResult) -> None:
+        if self.loop_db is None:
+            return
+        if res.status == 1 and res.is_keyframe:
+            self._on_keyframe()
+        # auto-relocalization: when PnP keeps failing and a reset is
+        # imminent, try recovering the pose against the loop database
+        # BEFORE the engine's terminal reset fires (the reference's
+        # only recovery is reset + re-init, SURVEY §3.5 — this
+        # exceeds parity)
+        elif (res.status == 1
+              and int(self.state.pose_failures) >= 2):
+            self._try_autorelocalize()
 
     # ------------------------------------------------------------------
     def _on_keyframe(self) -> None:
@@ -274,18 +452,14 @@ class AlvaAR:
         reference parses and discards them (system.cpp:75-81) — full VIO is
         future work there and here.  Always returns a pose (status 1),
         like the reference (system.cpp:103)."""
-        gray = self._to_gray(frame)
-        self.state, out = slam_step(self.state, gray, self.camera,
-                                    self.config, self._dt(timestamp))
-        self._last_out = out
-        self.last_status = 1
+        res = self._dispatch(frame, timestamp)
 
         qw, qx, qy, qz = [float(v) for v in orientation]
         q = jnp.asarray([qw, -qx, qy, qz], jnp.float32)  # mirror x (ref :67)
         R = np.asarray(quat_to_matrix(quat_conj(q)))     # inverse (ref :70)
 
-        slam_t = np.asarray(out.pose_wc)[:3, 3]
-        if int(out.status) == 1:
+        if res.status == 1:
+            slam_t = res._sync()[1:17].reshape(4, 4)[:3, 3]
             if self._imu_prev_slam_t is not None:
                 self._imu_translation += slam_t - self._imu_prev_slam_t
             self._imu_prev_slam_t = slam_t.copy()
@@ -326,9 +500,7 @@ class AlvaAR:
         reference's buffer over-run quirk, SURVEY §7)."""
         if self._last_out is None:
             return np.zeros((0, 2), np.int32)
-        pts = np.asarray(self._last_out.points)
-        valid = np.asarray(self._last_out.points_valid)
-        return pts[valid].astype(np.int32)
+        return self._last_out.frame_points()
 
     def get_map_points(self, colored: bool = True):
         """Export the current 3D map as a point cloud.

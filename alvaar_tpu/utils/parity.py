@@ -1,0 +1,121 @@
+"""Trajectory parity metrics against the native reference engine.
+
+The BASELINE accuracy target is defined vs the WASM reference ("ATE RMSE
+within 1% of the WASM reference"); tools/ref_native builds the identical
+C++ engine (reference src/slam/src) for the host and
+tools/ref_native/record_golden.py records its trajectories into
+tests/golden/.  This module loads those goldens and scores our
+trajectories against them.
+
+The reference is nondeterministic (RANSAC seeded from std::random_device,
+reference system.cpp:210), so goldens hold SEVERAL reference runs; parity
+is measured as ATE to the closest run, and the reference's own
+run-to-run spread is reported as the noise floor (SURVEY §4).
+Monocular scale is arbitrary (reference visual_frontend.cpp:547), so all
+comparisons are similarity(sim3)-aligned.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests", "golden")
+
+
+def sim3_align_ate(est_t: np.ndarray, ref_t: np.ndarray) -> float:
+    """RMSE between trajectories after similarity alignment (Umeyama)."""
+    mu_e, mu_r = est_t.mean(0), ref_t.mean(0)
+    e, r = est_t - mu_e, ref_t - mu_r
+    cov = r.T @ e / len(e)
+    U, S, Vt = np.linalg.svd(cov)
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    var_e = (e * e).sum() / len(e)
+    s = np.trace(np.diag(S) @ D) / max(var_e, 1e-12)
+    aligned = s * e @ R.T + mu_r
+    return float(np.sqrt(((aligned - ref_t) ** 2).sum(axis=1).mean()))
+
+
+def _traj(status: np.ndarray, poses: np.ndarray):
+    """Tracked-frame indices + translations from one run's outputs."""
+    idx = np.where(status == 1)[0]
+    return idx, poses[idx][:, :3, 3]
+
+
+def load_golden(name: str):
+    path = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
+
+
+def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,
+                     golden_name: str) -> Optional[dict]:
+    """Score our trajectory against every recorded reference run.
+
+    Returns a dict with:
+      ate_pct       — min over reference runs of sim3-ATE(ours, ref) on
+                      commonly-tracked frames, as % of the reference
+                      trajectory span;
+      ref_noise_pct — max pairwise sim3-ATE between reference runs
+                      (the reference's own nondeterminism floor), same
+                      normalization;
+      overlap       — number of commonly tracked frames used;
+    or None when the golden file is absent or overlap is too small.
+    """
+    g = load_golden(golden_name)
+    if g is None:
+        return None
+    ref_status = np.asarray(g["status"])   # [R, N]
+    ref_poses = np.asarray(g["poses"])     # [R, N, 4, 4]
+    our_idx = np.where(np.asarray(our_status) == 1)[0]
+
+    ates, spans, overlaps = [], [], []
+    ref_trajs = []
+    for r in range(ref_status.shape[0]):
+        ridx, rt = _traj(ref_status[r], ref_poses[r])
+        ref_trajs.append((ridx, rt))
+        common = np.intersect1d(our_idx, ridx)
+        if len(common) < 10:
+            continue
+        ours_c = np.asarray(our_poses)[common][:, :3, 3]
+        pos = {int(v): k for k, v in enumerate(ridx)}
+        ref_c = rt[[pos[int(c)] for c in common]]
+        span = float(np.linalg.norm(ref_c.max(0) - ref_c.min(0)))
+        if span < 1e-9:
+            continue
+        ates.append(100.0 * sim3_align_ate(ours_c, ref_c) / span)
+        spans.append(span)
+        overlaps.append(len(common))
+    if not ates:
+        return None
+
+    # reference self-consistency across runs (nondeterminism floor)
+    noise = 0.0
+    for a in range(len(ref_trajs)):
+        for b in range(a + 1, len(ref_trajs)):
+            ia, ta = ref_trajs[a]
+            ib, tb = ref_trajs[b]
+            common = np.intersect1d(ia, ib)
+            if len(common) < 10:
+                continue
+            pa = {int(v): k for k, v in enumerate(ia)}
+            pb = {int(v): k for k, v in enumerate(ib)}
+            ca = ta[[pa[int(c)] for c in common]]
+            cb = tb[[pb[int(c)] for c in common]]
+            span = float(np.linalg.norm(cb.max(0) - cb.min(0)))
+            if span < 1e-9:
+                continue
+            noise = max(noise, 100.0 * sim3_align_ate(ca, cb) / span)
+
+    best = int(np.argmin(ates))
+    return {"ate_pct": float(ates[best]),
+            "ref_noise_pct": float(noise),
+            "overlap": int(overlaps[best]),
+            "span": float(spans[best])}

@@ -69,6 +69,15 @@ def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
     idx = np.where(statuses == 1)[0]
     ate = (ate_rmse(poses[idx][:, :3, 3], gt[idx][:, :3, 3])
            if len(idx) >= 10 else float("nan"))
+
+    # accuracy parity vs the NATIVE reference engine on the same frames
+    # (tools/ref_native; BASELINE: ATE within 1% of the WASM reference)
+    from alvaar_tpu.utils.parity import ate_vs_reference
+    par = ate_vs_reference(statuses, poses, "ref_synthetic_640.npz")
+    if par is not None:
+        aux("ate_vs_reference_synthetic", par["ate_pct"], "%",
+            ref_noise_pct=round(par["ref_noise_pct"], 3),
+            overlap=par["overlap"])
     return N / wall, ate, len(idx)
 
 
@@ -152,10 +161,30 @@ def bench_1080p_streams(jax, jnp, B=4, N=12):
     return N * B / min(walls)
 
 
+def ate_vs_reference_video(poses, statuses):
+    """% parity vs the recorded reference runs on video.mp4 (None when
+    tests/golden/ref_video.npz is absent)."""
+    from alvaar_tpu.utils.parity import ate_vs_reference
+    par = ate_vs_reference(statuses, poses, "ref_video.npz")
+    if par is None:
+        return None
+    aux("ate_vs_reference_video_noise_floor", par["ref_noise_pct"], "%",
+        overlap=par["overlap"])
+    return par["ate_pct"]
+
+
 def bench_real_video(jax, jnp, n_frames=300):
     """Config 1 on the reference's own demo video (the exact input of
-    examples/public/video.html:148-195), via the native libav decoder.
-    Returns (fps, tracked, total) or None when video/decoder is absent."""
+    examples/public/video.html:148-195), via the native libav decoder,
+    through the PUBLIC AlvaAR API.
+
+    Measures both consumption modes:
+      * process_frames — chunked device-resident scan (the throughput
+        path for file/offline workloads);
+      * find_camera_pose_async per frame — the interactive frame loop,
+        pipelined (statuses drained at the end).
+    Returns (fps_stream, fps_async, tracked, total, poses, timestamps)
+    or None when video/decoder is absent."""
     import os
     path = "/root/reference/examples/public/assets/video.mp4"
     if not os.path.exists(path):
@@ -168,21 +197,35 @@ def bench_real_video(jax, jnp, n_frames=300):
         return None
     from alvaar_tpu import AlvaAR
     alva = AlvaAR(v.width, v.height, fov=45.0)
-    frames = []
+    frames, tss = [], []
     for i, (gray, ts) in enumerate(v):
         if i >= n_frames:
             break
-        frames.append((gray, ts))
-    # warm-up/compile on the first frame
-    alva.find_camera_pose(frames[0][0], timestamp=frames[0][1])
+        frames.append(gray)
+        tss.append(ts)
+    frames = np.stack(frames)
+
+    # ---- throughput path: process_frames (compile on a prefix first)
+    alva.process_frames(frames[:32], timestamps=tss[:32])
     alva.reset()
     t0 = time.time()
-    tracked = 0
-    for gray, ts in frames:
-        pose = alva.find_camera_pose(gray, timestamp=ts)
-        tracked += pose is not None
+    statuses, poses = alva.process_frames(frames, timestamps=tss)
     wall = time.time() - t0
-    return len(frames) / wall, tracked, len(frames)
+    fps_stream = len(frames) / wall
+    tracked = int((statuses == 1).sum())
+
+    # ---- interactive path: per-frame async dispatch, lazy readback
+    alva.reset()
+    alva.find_camera_pose_async(frames[0], timestamp=tss[0])  # warm cache
+    alva.reset()
+    t0 = time.time()
+    results = [alva.find_camera_pose_async(frames[i], timestamp=tss[i])
+               for i in range(len(frames))]
+    tracked_async = sum(r.status == 1 for r in results)
+    wall = time.time() - t0
+    fps_async = len(frames) / wall
+    assert tracked_async == tracked or abs(tracked_async - tracked) < 10
+    return fps_stream, fps_async, tracked, len(frames), poses, statuses
 
 
 def bench_plane_720p(jax, jnp):
@@ -345,9 +388,14 @@ def main():
         # ---- config 1 on the reference's real demo video ----
         rv = bench_real_video(jax, jnp)
         if rv is not None:
-            fps_v, tracked_v, total_v = rv
+            fps_v, fps_async, tracked_v, total_v, rv_poses, rv_st = rv
             aux("real_video_fps", fps_v, "frames/sec",
                 tracked=f"{tracked_v}/{total_v}")
+            aux("real_video_async_fps", fps_async, "frames/sec")
+            ate_ref = ate_vs_reference_video(rv_poses, rv_st)
+            if ate_ref is not None:
+                aux("ate_vs_reference_video", ate_ref, "%",
+                    target="<=1% of trajectory span")
 
         # ---- config 2: findPlane 720p ----
         ms, ok = bench_plane_720p(jax, jnp)

@@ -69,11 +69,39 @@ if [ ! -f "$B/ceres/lib/libceres.a" ]; then
   log "Ceres done"
 fi
 
-# ---- 3. OpenGV (static; its CMakeLists forces -O3 -march=native, fine)
+# ---- 3. OpenGV (static; its CMakeLists forces -O3 -march=native and
+#      CXX_STANDARD 11.  The standard MUST be lifted to 17 to match the
+#      engine build: Eigen 3.4's aligned heap path differs between C++11
+#      (handmade aligned malloc, original pointer stashed before the
+#      returned block) and C++17 (native overaligned operator new), and
+#      header-inlined Eigen code in engine TUs exchanges heap blocks with
+#      the library — mixed dialects fault on free inside
+#      opengv::relative_pose::optimize_nonlinear.  Likewise its forced
+#      -march=native must be dropped: AVX-512 TUs set
+#      EIGEN_MAX_ALIGN_BYTES=64 (handmade aligned heap) while generic TUs
+#      (Ceres, engine) use 16 (plain malloc) — Eigen blocks crossing those
+#      boundaries are freed with the wrong deallocator (observed as a free
+#      fault inside Ceres SimplicialLDLT::Factorize).  One dialect, one
+#      ISA, everywhere.  A compiler wrapper enforces both since the
+#      project hardcodes CXX_STANDARD and appends -march=native.)
+cat > "$B/gxx17" <<'EOF'
+#!/bin/bash
+args=()
+for a in "$@"; do
+  case "$a" in
+    -std=gnu++11|-std=c++11) a=-std=gnu++17;;
+    -march=native) continue;;
+  esac
+  args+=("$a")
+done
+exec g++ "${args[@]}"
+EOF
+chmod +x "$B/gxx17"
 if [ ! -f "$B/opengv-build/lib/libopengv.a" ]; then
   log "configuring OpenGV"
   cmake -S "$REF/src/libs/opengv" -B "$B/opengv-build" \
     -DCMAKE_BUILD_TYPE=Release \
+    -DCMAKE_CXX_COMPILER="$B/gxx17" \
     -DBUILD_TESTS=OFF -DBUILD_PYTHON=OFF -DBUILD_SHARED_LIBS=OFF \
     -DEIGEN_INCLUDE_DIR="$EIGEN_INC" > "$B/opengv-configure.log" 2>&1
   log "building OpenGV (slow, single core)"
@@ -84,13 +112,21 @@ fi
 # ---- 4. Reference engine + our runner
 log "compiling SLAM engine + runner"
 SLAM_SRC="$REF/src/slam/src"
+# system.cpp uses unqualified duration_cast (compiles under emscripten only
+# because its libc++ headers leak the name); force-include a shim.
+cat > "$B/chrono_shim.hpp" <<'EOF'
+#include <chrono>
+using std::chrono::duration_cast;
+EOF
 ENGINE_CPP="system state camera_calibration frame map_point map_manager \
   feature_extractor feature_tracker visual_frontend mapper \
   multi_view_geometry optimizer ceres_parametrization utils"
 SRCS=""
 for s in $ENGINE_CPP; do SRCS="$SRCS $SLAM_SRC/$s.cpp"; done
 
+# generic ISA to match Ceres/OpenGV (see the Eigen alignment note above)
 g++ -O2 -std=c++17 -w -DNDEBUG \
+  -include "$B/chrono_shim.hpp" \
   -I"$SLAM_SRC" \
   -I/usr/include/opencv4 \
   -I"$EIGEN_INC" \

@@ -18,7 +18,19 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <execinfo.h>
+#include <csignal>
+#include <opencv2/core/utility.hpp>
 #include "system.hpp"
+
+static void crash_handler(int sig)
+{
+    void* bt[64];
+    int n = backtrace(bt, 64);
+    fprintf(stderr, "FATAL signal %d, backtrace:\n", sig);
+    backtrace_symbols_fd(bt, n, 2);
+    _exit(3);
+}
 
 static void* low_alloc(size_t n)
 {
@@ -55,6 +67,13 @@ int main(int argc, char** argv)
     float* pose = (float*)low_alloc(16 * sizeof(float));
     float* planePose = (float*)low_alloc(16 * sizeof(float));
 
+    signal(SIGSEGV, crash_handler);
+    signal(SIGABRT, crash_handler);
+    // match the WASM build's threading model: single-threaded OpenCV
+    // (the reference's detector parallel_for_ mutates shared state and is
+    // race-free only without a thread pool — SURVEY §5)
+    cv::setNumThreads(0);
+
     System sys;
     sys.configure(w, h, fx, fy, cx, cy, k1, k2, p1, p2);
 
@@ -73,6 +92,7 @@ int main(int argc, char** argv)
         for (int i = 0; i < 16; ++i)
             fprintf(out, " %.9g", pose[i]);
         fprintf(out, "\n");
+        fflush(out);  // the engine can abort mid-sequence; keep lines durable
 
         if (planeOut && status == 1)
         {
