@@ -37,9 +37,11 @@ class SlamConfig:
     # Grid cell size; one keypoint per cell max
     # (reference system.cpp:15 sets 40; state.cpp:8-11 derives the budget).
     cell_size: int = 40
-    # Shi-Tomasi quality: candidate accepted if response > quality * max_response
-    # of its cell's local maximum (reference feature_extractor.cpp:70-90 uses an
-    # adaptive absolute threshold; we use a relative one — same effect, static).
+    # Shi-Tomasi quality: INITIAL absolute min-eig threshold in
+    # cv::cornerMinEigenVal 8-bit units (reference extractorMaxQuality_
+    # init, state.hpp:59); adapted at runtime by cell fill ratio
+    # (feature_extractor.cpp:136-145) — the live value is
+    # MapState.detect_quality.
     detector_quality: float = 0.001
     # CLAHE off by default (reference system.cpp:17)
     use_clahe: bool = False
@@ -138,3 +140,16 @@ class SlamConfig:
 FAST = SlamConfig(cell_size=50, klt_iters=20, ransac_iters=50, ba_iters=3)
 AVERAGE = SlamConfig()
 ACCURATE = SlamConfig(cell_size=30, klt_iters=30, ransac_iters=200, ba_iters=10)
+
+
+def hd_serving(width: int = 1920, height: int = 1080) -> SlamConfig:
+    """High-resolution serving preset (BASELINE config 5): the grid cell
+    scales with resolution so the FEATURE budget stays at the 640x480
+    level (~340 keypoints) instead of growing 6.75x with the pixel count
+    — higher resolution buys keypoint precision and robustness, not more
+    landmarks, and the per-stream KLT/BA/matching cost stays near the
+    480p cost.  (The reference's fixed 40 px cell is a 480p-era constant:
+    state.cpp:8-11 derives the budget from the image size, so its CPU
+    cost balloons at HD too.)"""
+    cell = max(40, int(round(width / 24)))
+    return SlamConfig(width=width, height=height, cell_size=cell)

@@ -38,12 +38,17 @@ import jax
 import jax.numpy as jnp
 
 from alvaar_tpu.geom.lie import SE3
-from alvaar_tpu.ops.hamming import hamming_matrix_matmul
+from alvaar_tpu.ops.hamming import (hamming_matrix_matmul, hamming_vs_pm1,
+                                    unpack_pm1_i8)
 from alvaar_tpu.solvers.absolute import AbsolutePoseResult, p3p_lmeds
 
 
 class LoopDB(NamedTuple):
     desc: jax.Array     # [D, K, 8] uint32 keyframe descriptors
+    desc_pm: jax.Array  # [D*K, 256] int8 ±1 resident unpack of ``desc`` —
+                        # querying unpacks 50 MB of DB bits otherwise
+                        # (~8 ms HBM-bound per query at D=256);
+                        # maintained incrementally by db_add
     lm_pos: jax.Array   # [D, K, 3] landmark world positions at store time
     lm_is3d: jax.Array  # [D, K] bool
     kp_valid: jax.Array  # [D, K] bool
@@ -61,9 +66,23 @@ class LoopResult(NamedTuple):
     score: jax.Array      # float island score
 
 
+def _top2_min(dist):
+    """Row-wise (best, second, best_idx) over a WIDE [N, M] distance
+    matrix via three reduction passes.  ``lax.top_k`` over a 49k-wide
+    axis lowers to a full sort (~8 ms at D*K=49152 on v5e); min+argmin
+    passes are pure VPU reductions (~0.1 ms)."""
+    bi = jnp.argmin(dist, axis=1)
+    best = jnp.take_along_axis(dist, bi[:, None], axis=1)[:, 0]
+    masked = jnp.where(jnp.arange(dist.shape[1])[None, :] == bi[:, None],
+                       jnp.inf, dist)
+    second = jnp.min(masked, axis=1)
+    return best, second, bi
+
+
 def db_init(capacity: int, max_kps: int, dtype=jnp.float32) -> LoopDB:
     return LoopDB(
         desc=jnp.zeros((capacity, max_kps, 8), jnp.uint32),
+        desc_pm=jnp.full((capacity * max_kps, 256), -1, jnp.int8),
         lm_pos=jnp.zeros((capacity, max_kps, 3), dtype),
         lm_is3d=jnp.zeros((capacity, max_kps), bool),
         kp_valid=jnp.zeros((capacity, max_kps), bool),
@@ -80,8 +99,11 @@ def db_add(db: LoopDB, desc, lm_pos, lm_is3d, kp_valid, kf_id,
            pose: SE3) -> LoopDB:
     """Insert a keyframe into the ring database."""
     i = db.ptr % db.kf_id.shape[0]
+    K = db.desc.shape[1]
     return db._replace(
         desc=db.desc.at[i].set(desc),
+        desc_pm=jax.lax.dynamic_update_slice(
+            db.desc_pm, unpack_pm1_i8(desc), (i * K, 0)),
         lm_pos=db.lm_pos.at[i].set(lm_pos),
         lm_is3d=db.lm_is3d.at[i].set(lm_is3d),
         kp_valid=db.kp_valid.at[i].set(kp_valid),
@@ -105,9 +127,9 @@ def detect_loop(db: LoopDB, desc_q, valid_q, query_kf_id, *,
     D, K, _ = db.desc.shape
     Kq = desc_q.shape[0]
 
-    # ---- one dense Hamming pass: [Kq, D*K] ----
-    flat_db = db.desc.reshape(D * K, 8)
-    dist = hamming_matrix_matmul(desc_q, flat_db).astype(jnp.float32)
+    # ---- one dense Hamming pass: [Kq, D*K] int8 MXU contraction against
+    # the resident ±1 DB (no per-query unpack) ----
+    dist = hamming_vs_pm1(desc_q, db.desc_pm)
     db_ok = (db.kp_valid.reshape(-1)
              & (db.kf_id[:, None] >= 0).repeat(K, 1).reshape(-1)
              # the delay queue: recent keyframes are not loop candidates
@@ -117,10 +139,9 @@ def detect_loop(db: LoopDB, desc_q, valid_q, query_kf_id, *,
     dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
 
     # ---- kNN + NNDR ratio filter (lcdetector.cc:169-181) ----
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
+    best, second, bi = _top2_min(dist)
     match_ok = (best <= second * nndr) & (best < 256.0)
-    match_img = (idx2[:, 0] // K)                       # [Kq] db slot
+    match_img = bi // K                                 # [Kq] db slot
 
     # ---- image voting (searchImages) ----
     votes = jnp.zeros((D,), jnp.float32).at[match_img].add(
@@ -192,15 +213,13 @@ def relocalize_topk(db: LoopDB, desc_q, bearings_q, valid_q, key, *,
     D, K, _ = db.desc.shape
 
     # ---- vote: same dense pass as detect_loop, no delay gate ----
-    flat_db = db.desc.reshape(D * K, 8)
-    dist = hamming_matrix_matmul(desc_q, flat_db).astype(jnp.float32)
+    dist = hamming_vs_pm1(desc_q, db.desc_pm)
     db_ok = (db.kp_valid & db.lm_is3d & (db.kf_id >= 0)[:, None]).reshape(-1)
     BIG = jnp.asarray(1e9, jnp.float32)
     dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
+    best, second, bi = _top2_min(dist)
     m_ok = (best <= second * nndr) & (best < 64.0)
-    votes = jnp.zeros((D,), jnp.float32).at[idx2[:, 0] // K].add(
+    votes = jnp.zeros((D,), jnp.float32).at[bi // K].add(
         jnp.where(m_ok, 1.0, 0.0))
 
     _, entries = jax.lax.top_k(votes, topk)               # [E]

@@ -2,11 +2,16 @@
 
 TPU-native equivalent of the reference's FeatureExtractor::detectFeaturePoints
 (reference src/slam/src/feature_extractor.cpp:45-155): per empty 40x40 grid
-cell, blur + min-eigenvalue response, pick the max-response pixel, subpixel
-refine.  The reference loops over cells with cv::parallel_for_; here the
-whole image is one response pass and the per-cell argmax is a single masked
-reshape-reduce — every cell is computed every frame, occupancy simply masks
-the result (fixed shapes, no branching).
+cell, blur + min-eigenvalue response, pick the max-response pixel above an
+ADAPTIVE absolute quality threshold, keep a second candidate at least
+cell/4 away, fill the cell deficit from the second-candidate list, and
+halve / raise the threshold by the cell fill ratio
+(feature_extractor.cpp:136-145).  The reference loops over cells with
+cv::parallel_for_; here the whole image is one response pass, the per-cell
+best + second peaks are masked reshape-reduces, and the deficit-fill is a
+priority top-k — every cell is computed every frame, occupancy simply
+masks the result (fixed shapes, no branching).  The adaptive threshold is
+a traced scalar carried in the map state (MapState.detect_quality).
 
 Divergences (document-and-diverge):
   * occupancy suppression is "reject candidate within cell_size/4 of a live
@@ -16,8 +21,8 @@ Divergences (document-and-diverge):
     neighborhood instead of cv::cornerSubPix's 30-iteration gradient loop
     (feature_extractor.cpp:147-155) — sub-0.1px agreement on real corners,
     one gather instead of 30 iterations;
-  * the adaptive absolute threshold (feature_extractor.cpp:138-145) becomes
-    a static relative quality gate vs the image max response.
+  * the second-candidate exclusion circle is enforced within the cell only
+    (the reference's shared mask also suppresses across cell edges).
 """
 
 from __future__ import annotations
@@ -29,17 +34,29 @@ import jax.numpy as jnp
 
 from alvaar_tpu.ops.image import gaussian_blur3, sobel_gradients, _sep_conv
 
+# cv::cornerMinEigenVal units (corner.cpp:550): for 8-bit input with
+# blockSize=3, sobel aperture 3, OpenCV scales the gradients by
+# 1/((1<<(ksize-1))*blockSize*255) = 1/3060 and box-SUMS (normalize=false)
+# the 3x3 products.  Ours uses unscaled sobel and a box MEAN (sum/9), so
+# resp_cv = resp_ours * 9 / 3060^2.  Normalizing lets the reference's
+# threshold constants (extractorMaxQuality_=0.001, state.hpp:59) carry
+# over unchanged; it is a constant scale, so argmax/subpixel/relative
+# behavior is untouched.
+_CV_NORM = 9.0 / (3060.0 ** 2)
+
 
 class Detections(NamedTuple):
     xy: jax.Array      # [num_cells, 2] f32 subpixel positions
-    score: jax.Array   # [num_cells] f32 min-eig response
+    score: jax.Array   # [num_cells] f32 min-eig response (cv units)
     valid: jax.Array   # [num_cells] bool
+    new_quality: jax.Array  # scalar f32 — fill-ratio-adapted threshold
 
 
 def shi_tomasi_response(img):
     """Min-eigenvalue corner response (cv::cornerMinEigenVal, 3x3 block,
     3x3 sobel — reference corner.cpp:550), after a 3x3 Gaussian pre-blur
-    (feature_extractor.cpp:59)."""
+    (feature_extractor.cpp:59).  Output in cv::cornerMinEigenVal's
+    8-bit-input units (see _CV_NORM)."""
     blurred = gaussian_blur3(img)
     dx, dy = sobel_gradients(blurred)
     # 3x3 box window sums of gradient products
@@ -49,7 +66,7 @@ def shi_tomasi_response(img):
     sxy = _sep_conv(dx * dy, box)
     half_trace = 0.5 * (sxx + syy)
     disc = jnp.sqrt(((sxx - syy) * 0.5) ** 2 + sxy * sxy)
-    return half_trace - disc
+    return (half_trace - disc) * _CV_NORM
 
 
 def _pad_to_cells(resp, cell: int):
@@ -61,21 +78,50 @@ def _pad_to_cells(resp, cell: int):
     return resp
 
 
-def grid_argmax(resp, cell: int):
-    """Per-cell argmax: [H, W] → (xy [C, 2] i32, score [C]) with C = grid
-    cell count; positions are image coordinates of each cell's peak."""
-    h, w = resp.shape
+def _tiles(resp, cell: int):
     r = _pad_to_cells(resp, cell)
     gh, gw = r.shape[0] // cell, r.shape[1] // cell
-    tiles = r.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
-    flat_idx = jnp.argmax(tiles, axis=-1)
-    score = jnp.take_along_axis(tiles, flat_idx[..., None], axis=-1)[..., 0]
+    t = r.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3)
+    return t.reshape(gh, gw, cell * cell), gh, gw
+
+
+def _peak_xy(flat_idx, gh, gw, cell: int):
     iy = flat_idx // cell
     ix = flat_idx % cell
     cy = jnp.arange(gh)[:, None] * cell + iy
     cx = jnp.arange(gw)[None, :] * cell + ix
-    xy = jnp.stack([cx, cy], axis=-1).reshape(-1, 2)
-    return xy, score.reshape(-1)
+    return jnp.stack([cx, cy], axis=-1).reshape(-1, 2)
+
+
+def grid_argmax(resp, cell: int):
+    """Per-cell argmax: [H, W] → (xy [C, 2] i32, score [C]) with C = grid
+    cell count; positions are image coordinates of each cell's peak."""
+    tiles, gh, gw = _tiles(resp, cell)
+    flat_idx = jnp.argmax(tiles, axis=-1)
+    score = jnp.take_along_axis(tiles, flat_idx[..., None], axis=-1)[..., 0]
+    return _peak_xy(flat_idx, gh, gw, cell), score.reshape(-1)
+
+
+def grid_argmax2(resp, cell: int):
+    """Per-cell best AND second peak (the reference's secondary candidate
+    list, feature_extractor.cpp:90-105): the second peak is the cell's max
+    outside a cell/4-radius disc around the best (the reference's masked
+    second cv::minMaxLoc).
+
+    Returns (xy1 [C,2] i32, s1 [C], xy2 [C,2] i32, s2 [C])."""
+    tiles, gh, gw = _tiles(resp, cell)
+    i1 = jnp.argmax(tiles, axis=-1)
+    s1 = jnp.take_along_axis(tiles, i1[..., None], axis=-1)[..., 0]
+    ly = jnp.arange(cell * cell) // cell
+    lx = jnp.arange(cell * cell) % cell
+    d2 = ((ly[None, None, :] - (i1 // cell)[..., None]) ** 2
+          + (lx[None, None, :] - (i1 % cell)[..., None]) ** 2)
+    r = cell // 4
+    masked = jnp.where(d2 <= r * r, -jnp.inf, tiles)
+    i2 = jnp.argmax(masked, axis=-1)
+    s2 = jnp.take_along_axis(masked, i2[..., None], axis=-1)[..., 0]
+    return (_peak_xy(i1, gh, gw, cell), s1.reshape(-1),
+            _peak_xy(i2, gh, gw, cell), s2.reshape(-1))
 
 
 def subpix_refine(resp, xy_int):
@@ -111,9 +157,10 @@ def subpix_refine(resp, xy_int):
 
 
 def detect_grid(img, existing_xy, existing_valid, *, cell: int,
-                border: int, quality: float = 0.001) -> Detections:
-    """Full detection pass: response → per-cell peak → occupancy + quality
-    gates → subpixel positions.
+                border: int, quality=0.001) -> Detections:
+    """Full detection pass: response → per-cell best + second peaks →
+    occupancy + absolute quality gates → deficit-fill priority selection →
+    subpixel positions → threshold adaptation.
 
     Args:
       img: [H, W] f32 grayscale.
@@ -122,22 +169,31 @@ def detect_grid(img, existing_xy, existing_valid, *, cell: int,
       existing_valid: [K] bool.
       cell: grid cell size (config.cell_size).
       border: ROI border.
-      quality: relative response gate vs global max.
+      quality: ABSOLUTE min-eig threshold in cv::cornerMinEigenVal 8-bit
+        units (reference extractorMaxQuality_, state.hpp:59); may be a
+        traced scalar — pass MapState.detect_quality for the adaptive
+        behavior, and store ``new_quality`` back.
     """
     h, w = img.shape
     resp = shi_tomasi_response(img)
-    xy_int, score = grid_argmax(resp, cell)
-    xy = subpix_refine(resp, xy_int)
+    xy1_i, s1, xy2_i, s2 = grid_argmax2(resp, cell)
+    C = s1.shape[0]
 
-    # occupancy: cells containing a live keypoint are skipped, and candidates
+    xy_i = jnp.concatenate([xy1_i, xy2_i], axis=0)        # [2C, 2]
+    score = jnp.concatenate([s1, s2], axis=0)
+    xy = subpix_refine(resp, xy_i)
+
+    # occupancy: cells containing a live keypoint are skipped (the whole
+    # cell — the reference `continue`s before detecting), and candidates
     # within cell/4 of any live keypoint are rejected
     gw = -(-w // cell)
     kp_cell = (jnp.clip(existing_xy[:, 1].astype(jnp.int32), 0, h - 1) // cell) * gw \
         + (jnp.clip(existing_xy[:, 0].astype(jnp.int32), 0, w - 1) // cell)
-    cell_ids = jnp.arange(xy.shape[0])
-    occupied = jnp.any(
+    cell_ids = jnp.arange(C)
+    occ_cell = jnp.any(
         (cell_ids[:, None] == kp_cell[None, :]) & existing_valid[None, :], axis=1
-    )
+    )                                                     # [C]
+    occupied = jnp.tile(occ_cell, 2)                      # [2C]
     d2 = jnp.sum((xy[:, None, :] - existing_xy[None, :, :]) ** 2, axis=-1)
     too_close = jnp.any(
         (d2 < (cell / 4.0) ** 2) & existing_valid[None, :], axis=1
@@ -147,6 +203,50 @@ def detect_grid(img, existing_xy, existing_valid, *, cell: int,
         (xy[:, 0] >= border) & (xy[:, 0] < w - border)
         & (xy[:, 1] >= border) & (xy[:, 1] < h - border)
     )
-    good_score = score > quality * jnp.max(score)
-    valid = in_border & good_score & ~occupied & ~too_close & jnp.isfinite(score)
-    return Detections(xy=xy, score=jnp.where(valid, score, 0.0), valid=valid)
+    base_ok = in_border & ~occupied & ~too_close & jnp.isfinite(score)
+
+    # ---- threshold adaptation (feature_extractor.cpp:136-145) ----
+    # The reference halves maxQuality_ once per detection call when fewer
+    # than 33% of the free cells fire and raises it x1.5 above 90%,
+    # converging over consecutive keyframes.  Here all candidate scores
+    # already exist, so a 5-rung halving ladder (up to 4 halvings) is
+    # evaluated IN one call and the acceptance rung targets a DENSE 90%
+    # fill: the reference's band steady-states at 33-90% fill because its
+    # CPU detector is the budget; on TPU every cell is computed anyway,
+    # and a denser landmark set is strictly better for BA accuracy
+    # (document-and-diverge: the absolute floor quality/16 still rejects
+    # genuinely flat cells, and the cross-call x0.5/x1.5 adaptation —
+    # evaluated at the ladder ENDS against the reference's 33%/90% band —
+    # still tracks scene contrast for low-light survival).
+    n_occ = jnp.sum(occ_cell)
+    empty = (C - n_occ).astype(jnp.float32)
+    ladder = jnp.asarray(quality, jnp.float32) * \
+        (0.5 ** jnp.arange(5, dtype=jnp.float32))         # [R]
+    valid_r = base_ok[None, :] & (score[None, :] >= ladder[:, None])
+    n1_r = jnp.sum(valid_r[:, :C], axis=1).astype(jnp.float32)
+    n2_r = jnp.sum(valid_r[:, C:], axis=1).astype(jnp.float32)
+    n_eff_r = n1_r + jnp.minimum(n2_r, jnp.maximum(empty - n1_r, 0.0))
+    meets = n_eff_r >= 0.9 * empty
+    k = jnp.where(jnp.any(meets), jnp.argmax(meets), ladder.shape[0] - 1)
+    valid = valid_r[k]
+    # raise when the TOP rung over-fills (threshold everywhere too low),
+    # halve when even the BOTTOM rung starves (scene dimmer than the
+    # ladder reaches)
+    factor = jnp.where(n_eff_r[-1] < 0.33 * empty, 0.5,
+                       jnp.where(n_eff_r[0] > 0.9 * empty, 1.5, 1.0))
+    new_quality = jnp.clip(jnp.asarray(quality, jnp.float32) * factor,
+                           1e-9, 1.0)
+
+    # ---- deficit-fill selection: firsts outrank seconds, then by score
+    # (the reference appends seconds only up to the free-cell deficit;
+    # downstream slot allocation enforces the pool cap, so ordering firsts
+    # first reproduces the fill semantics under fixed shapes) ----
+    is_first = jnp.arange(2 * C) < C
+    prio = jnp.where(valid,
+                     jnp.where(is_first, 1e3, 0.0)
+                     + jnp.clip(score, 0.0, 999.0), -jnp.inf)
+    _, sel = jax.lax.top_k(prio, C)
+    return Detections(xy=xy[sel],
+                      score=jnp.where(valid[sel], score[sel], 0.0),
+                      valid=valid[sel],
+                      new_quality=new_quality)

@@ -149,7 +149,7 @@ def init_multistream_loopdbs(cfg: SlamConfig, num_streams: int,
 
 def multistream_step_local(states: MapState, frames, dts, cam: Camera,
                            cfg: SlamConfig, kf_slots: int, dbs=None,
-                           loop_delay: int = 50):
+                           loop_delay: int = 50, active=None):
     """One frame for a local shard of b streams: batched track (heavy
     RANSAC branches compiled OUT), then three gated sub-batch phases —
     P3P recovery, essential bootstrap, keyframe pipeline — then batched
@@ -159,12 +159,25 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
     With ``dbs`` (a stacked per-stream LoopDB), loop-closure detection +
     verification + sim3 correction run inside the keyframe sub-batch at
     keyframe cadence; returns (states, dbs, outs) instead of
-    (states, outs)."""
+    (states, outs).
+
+    ``active`` ([b] bool, optional) masks streams with no frame this
+    tick: their state (and db) rows pass through unchanged — the serving
+    front door (serving/server.py) uses it so clients at different frame
+    rates share one batch without lockstep.  Compute is spent on masked
+    rows anyway (that is the batching deal); only the state write is
+    suppressed."""
     b = frames.shape[0]
+    states0, dbs0 = states, dbs
 
     states, fl = jax.vmap(
         lambda s, f, dt: track_phase(s, f, cam, cfg, dt, defer_heavy=True)
     )(states, frames, dts)
+    if active is not None:
+        # inactive streams must not claim sub-batch slots
+        fl = fl._replace(p3p_need=fl.p3p_need & active,
+                         init_gate=fl.init_gate & active,
+                         kf_req=fl.kf_req & active)
 
     # ---- gated P3P recovery (rare: consecutive PnP failures) ----
     states, _ = _gated_subbatch(
@@ -181,25 +194,30 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
     # ---- keyframe election: age-prioritized top-k sub-batch ----
     req = ((fl.kf_req | became_ready | states.kf_pending)
            & ~states.reset_requested)
+    if active is not None:
+        req = req & active
     urgent = req & (states.next_kf_id <= 1)
     score = (req.astype(jnp.float32)
              + 2.0 * states.kf_pending.astype(jnp.float32)
              + 4.0 * urgent.astype(jnp.float32))
     S = min(kf_slots, b)
     _, idx = jax.lax.top_k(score, S)
-    active = score[idx] > 0.0
+    kf_active = score[idx] > 0.0   # NOT named `active` — that is the
+                                   # stream-liveness parameter above
 
     if dbs is None:
         def serve(states: MapState) -> MapState:
             sub = jax.tree.map(lambda x: x[idx], states)
             sub_kf = jax.vmap(lambda s: keyframe_phase(s, cam, cfg))(sub)
-            merged = jax.tree.map(partial(_row_select, active), sub_kf, sub)
+            merged = jax.tree.map(partial(_row_select, kf_active),
+                                  sub_kf, sub)
             return jax.tree.map(
                 lambda full, m: full.at[idx].set(m, mode="drop",
                                                  unique_indices=True),
                 states, merged)
 
-        states = jax.lax.cond(jnp.any(active), serve, lambda s: s, states)
+        states = jax.lax.cond(jnp.any(kf_active), serve, lambda s: s,
+                              states)
     else:
         def serve_lc(args):
             states, dbs = args
@@ -210,18 +228,19 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
                 lambda s, d: loopclosure_phase(s, d, cam, cfg,
                                                delay=loop_delay)
             )(sub_kf, sub_db)
-            m_st = jax.tree.map(partial(_row_select, active), sub_kf, sub)
-            m_db = jax.tree.map(partial(_row_select, active), sub_db2,
+            m_st = jax.tree.map(partial(_row_select, kf_active),
+                                sub_kf, sub)
+            m_db = jax.tree.map(partial(_row_select, kf_active), sub_db2,
                                 sub_db)
             scatter = lambda full, m: full.at[idx].set(
                 m, mode="drop", unique_indices=True)
             return (jax.tree.map(scatter, states, m_st),
                     jax.tree.map(scatter, dbs, m_db))
 
-        states, dbs = jax.lax.cond(jnp.any(active), serve_lc,
+        states, dbs = jax.lax.cond(jnp.any(kf_active), serve_lc,
                                    lambda a: a, (states, dbs))
 
-    served = jnp.zeros((b,), bool).at[idx].set(active, mode="drop")
+    served = jnp.zeros((b,), bool).at[idx].set(kf_active, mode="drop")
     states = states._replace(kf_pending=req & ~served)
 
     states, outs = jax.vmap(
@@ -231,9 +250,15 @@ def multistream_step_local(states: MapState, frames, dts, cam: Camera,
     # ---- gated reset (rare): full-state re-init as a sub-batch instead
     # of a per-stream whole-pytree select every frame ----
     from alvaar_tpu.worldmap.state import reset_map_state
+    reset_req = states.reset_requested if active is None \
+        else states.reset_requested & active
     states, _ = _gated_subbatch(
-        states, states.reset_requested,
+        states, reset_req,
         lambda s: reset_map_state(s, cfg), max(2, kf_slots // 2))
+    if active is not None:
+        states = jax.tree.map(partial(_row_select, active), states, states0)
+        if dbs is not None:
+            dbs = jax.tree.map(partial(_row_select, active), dbs, dbs0)
     if dbs is None:
         return states, outs
     return states, dbs, outs

@@ -412,20 +412,20 @@ class AlvaAR:
             cfg, cam = self.config, self.camera
 
             @jax.jit
-            def fn(gray):
+            def fn(gray, quality):
                 from alvaar_tpu.ops.detect import detect_grid
                 from alvaar_tpu.ops.orb import describe
                 det = detect_grid(gray, jnp.zeros((1, 2), jnp.float32),
                                   jnp.zeros((1,), bool),
                                   cell=cfg.cell_size,
                                   border=cfg.image_border,
-                                  quality=cfg.detector_quality)
+                                  quality=quality)
                 desc, _ = describe(gray, det.xy, det.valid)
                 und = cam.undistort(det.xy)
                 return desc, cam.bearing(und), det.valid
 
             self._describe_frame_fn = fn
-        return fn(self.state.prev_pyr[0])
+        return fn(self.state.prev_pyr[0], self.state.detect_quality)
 
     def _try_autorelocalize(self) -> bool:
         """On impending tracking loss (consecutive PnP failures), snap the

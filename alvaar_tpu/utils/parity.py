@@ -42,6 +42,38 @@ def sim3_align_ate(est_t: np.ndarray, ref_t: np.ndarray) -> float:
     return float(np.sqrt(((aligned - ref_t) ** 2).sum(axis=1).mean()))
 
 
+def rpe_rmse(est_T: np.ndarray, ref_T: np.ndarray, delta: int = 1,
+             scale: Optional[float] = None) -> dict:
+    """Relative pose error over frame pairs (i, i+delta) — SURVEY §4's
+    prescribed local-accuracy metric, separating drift from local jitter
+    (ATE conflates them).
+
+    est_T/ref_T: [N, 4, 4] T_wc at matched frames.  Monocular scale is
+    arbitrary; ``scale`` (est→ref) defaults to matching the median
+    relative-translation magnitudes.  Returns translation RMSE (in ref
+    units) and rotation RMSE (degrees)."""
+    n = len(est_T)
+    if n <= delta:
+        return {"trans_rmse": float("nan"), "rot_rmse_deg": float("nan")}
+    rel = lambda T: np.matmul(np.linalg.inv(T[:-delta]), T[delta:])
+    e, r = rel(np.asarray(est_T, np.float64)), rel(np.asarray(ref_T,
+                                                             np.float64))
+    if scale is None:
+        en = np.linalg.norm(e[:, :3, 3], axis=1)
+        rn = np.linalg.norm(r[:, :3, 3], axis=1)
+        med = np.median(en)
+        scale = float(np.median(rn) / med) if med > 1e-12 else 1.0
+    dt = scale * e[:, :3, 3] - r[:, :3, 3]
+    dR = np.matmul(e[:, :3, :3].transpose(0, 2, 1), r[:, :3, :3])
+    cosang = np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    return {
+        "trans_rmse": float(np.sqrt((dt ** 2).sum(axis=1).mean())),
+        "rot_rmse_deg": float(np.rad2deg(np.sqrt(
+            (np.arccos(cosang) ** 2).mean()))),
+        "scale": scale,
+    }
+
+
 def _traj(status: np.ndarray, poses: np.ndarray):
     """Tracked-frame indices + translations from one run's outputs."""
     idx = np.where(status == 1)[0]
@@ -76,7 +108,7 @@ def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,
     ref_poses = np.asarray(g["poses"])     # [R, N, 4, 4]
     our_idx = np.where(np.asarray(our_status) == 1)[0]
 
-    ates, spans, overlaps = [], [], []
+    ates, spans, overlaps, commons = [], [], [], []
     ref_trajs = []
     for r in range(ref_status.shape[0]):
         ridx, rt = _traj(ref_status[r], ref_poses[r])
@@ -93,6 +125,7 @@ def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,
         ates.append(100.0 * sim3_align_ate(ours_c, ref_c) / span)
         spans.append(span)
         overlaps.append(len(common))
+        commons.append((r, common))
     if not ates:
         return None
 
@@ -115,7 +148,14 @@ def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,
             noise = max(noise, 100.0 * sim3_align_ate(ca, cb) / span)
 
     best = int(np.argmin(ates))
+    r, common = commons[best]
+    ridx, _ = ref_trajs[r]
+    pos = {int(v): k for k, v in enumerate(ridx)}
+    ref_T = ref_poses[r][[pos[int(c)] for c in common]]
+    rpe = rpe_rmse(np.asarray(our_poses)[common], ref_T)
     return {"ate_pct": float(ates[best]),
             "ref_noise_pct": float(noise),
             "overlap": int(overlaps[best]),
-            "span": float(spans[best])}
+            "span": float(spans[best]),
+            "rpe_trans": rpe["trans_rmse"],
+            "rpe_rot_deg": rpe["rot_rmse_deg"]}

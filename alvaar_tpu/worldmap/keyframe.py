@@ -170,7 +170,8 @@ def describe_and_detect(state: MapState, gray, cam: Camera,
     # detect new corners in unoccupied cells
     det = detect_grid(gray, state.kp_px, state.kp_valid,
                       cell=cfg.cell_size, border=cfg.image_border,
-                      quality=cfg.detector_quality)
+                      quality=state.detect_quality)
+    state = state._replace(detect_quality=det.new_quality)
     new_desc, _ = describe(gray, det.xy, det.valid)
 
     # allocate keypoint slots and landmark slots for each accepted detection

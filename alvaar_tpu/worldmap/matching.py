@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from alvaar_tpu.config import SlamConfig
 from alvaar_tpu.geom.camera import Camera
 from alvaar_tpu.geom.lie import SE3
-from alvaar_tpu.ops.hamming import hamming_matrix_matmul
+from alvaar_tpu.ops.hamming import hamming_min_crossbag
 from alvaar_tpu.worldmap.state import MapState, masked_scatter_set
 
 MAX_PROJ_PX = 2.0           # reference state.hpp:63
@@ -69,8 +69,15 @@ def match_to_local_map(state: MapState, cam: Camera,
     inc = (state.lm_obs & state.kf_valid[None, :]).astype(jnp.float32)
     overlap = jnp.dot(inc, inc[kp_lm].T,
                       preferred_element_type=jnp.float32)  # [L, K]
-    desc_dist = hamming_matrix_matmul(state.lm_desc,
-                                      state.lm_desc[kp_lm])  # [L, K]
+    # bag-aware distance: min cross-bag Hamming (reference
+    # map_point.cpp:204-222 computeMinDescDist — the single-representative
+    # distance is weaker exactly under the viewpoint change where merging
+    # matters)
+    G = state.lm_desc_bag.shape[1]
+    filled = jnp.arange(G)[None, :] < jnp.minimum(state.lm_desc_cnt, G)[:, None]
+    desc_dist = hamming_min_crossbag(
+        state.lm_desc_bag, filled,
+        state.lm_desc_bag[kp_lm], filled[kp_lm])           # [L, K]
 
     max_desc = float(cfg.match_max_hamming)
     pair_ok = (cand[:, None] & kp_young[None, :]

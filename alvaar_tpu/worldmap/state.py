@@ -77,6 +77,9 @@ class MapState(NamedTuple):
     p3p_req: jax.Array         # bool — P3P recovery requested (bad KLT/PnP)
     kf_pending: jax.Array      # bool — keyframe requested but deferred by the
                                # multi-stream scheduler (parallel/multistream.py)
+    detect_quality: jax.Array  # f32 adaptive detector threshold (reference
+                               # FeatureExtractor::maxQuality_, adapted by
+                               # fill ratio — feature_extractor.cpp:136-145)
     rng_key: jax.Array         # [2] uint32 PRNG state
 
 
@@ -119,15 +122,19 @@ def init_map_state(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         reset_requested=jnp.asarray(False),
         p3p_req=jnp.asarray(False),
         kf_pending=jnp.asarray(False),
+        detect_quality=jnp.asarray(cfg.detector_quality, jnp.float32),
         rng_key=jax.random.PRNGKey(cfg.seed),
     )
 
 
 def reset_map_state(state: MapState, cfg: SlamConfig) -> MapState:
-    """Full reset preserving only the PRNG stream (reference System::reset,
-    system.cpp:42-55: frame, frontend, map manager, state flags)."""
+    """Full reset preserving only the PRNG stream and the adapted detector
+    threshold (reference System::reset, system.cpp:42-55, resets frame,
+    frontend, map manager, and state flags — but the FeatureExtractor is
+    constructed once in configure, so maxQuality_ survives resets)."""
     fresh = init_map_state(cfg, state.kp_px.dtype)
-    return fresh._replace(rng_key=state.rng_key)
+    return fresh._replace(rng_key=state.rng_key,
+                          detect_quality=state.detect_quality)
 
 
 # ---------------------------------------------------------------------------

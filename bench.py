@@ -125,20 +125,21 @@ def bench_multistream(jax, jnp, cfg, cam, frames_np, gt, B, kf_slots,
         int(np.median(tracked)), N
 
 
-def bench_1080p_streams(jax, jnp, B=4, N=12):
+def bench_1080p_streams(jax, jnp, B=8, N=12):
     """Config 5 resolution check: aggregate throughput for B concurrent
     1080p streams on ONE chip (the full 64-stream target runs the same
     program stream-sharded over a v5e slice — linear in chips, zero
-    collectives)."""
+    collectives).  Uses the hd_serving preset: the keypoint budget stays
+    at the 480p level (the whole point of the preset — see config.py)."""
     sys.path.insert(0, "tests")
     from render_scene import TwoPlaneScene, trajectory
 
-    from alvaar_tpu import SlamConfig
+    from alvaar_tpu.config import hd_serving
     from alvaar_tpu.geom.camera import Camera
     from alvaar_tpu.parallel.multistream import (init_multistream_state,
                                                  make_multistream_scan)
 
-    cfg = SlamConfig(width=1920, height=1080)
+    cfg = hd_serving()
     cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
     rng = np.random.default_rng(7)
     scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height,
@@ -288,12 +289,35 @@ def bench_loop_closure(jax, jnp, capacity=256, kps=192):
         return db2, res
 
     db2, res = jax.block_until_ready(one(db))
-    walls = []
-    for _ in range(5):
-        t0 = time.time()
-        jax.block_until_ready(one(db))
-        walls.append(time.time() - t0)
-    return min(walls) * 1e3, bool(res.found)
+
+    # device-resident latency (launch overhead through the TPU tunnel
+    # dominates a single dispatch; production queries run inside the
+    # jitted keyframe phase): chain N query+insert rounds in one program
+    # and difference the walls.
+    def chain(n):
+        @jax.jit
+        def f(db):
+            def body(d, _):
+                d2, r = detect_loop.__wrapped__(d, q, ones, qid)
+                d2 = db_add.__wrapped__(d2, q, pts[10], ones, ones, qid,
+                                        SE3.identity())
+                return d2, r.found
+            d, found = jax.lax.scan(body, db, None, length=n)
+            return found
+        return f
+
+    def best(fn, reps=5):
+        jax.block_until_ready(fn(db))
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(fn(db))
+            walls.append(time.time() - t0)
+        return min(walls)
+
+    t1 = best(chain(1))
+    t9 = best(chain(9))
+    return (t9 - t1) / 8 * 1e3, bool(res.found)
 
 
 def bench_ba_10k(jax, jnp):
@@ -322,14 +346,33 @@ def bench_ba_10k(jax, jnp):
         obs_lm=jnp.asarray(obs_lm),
         obs_px=jnp.asarray(rng.uniform(20, 460, (W, K, 2)), jnp.float32),
         obs_valid=jnp.asarray(rng.random((W, K)) < 0.6))
-    fn = jax.jit(lambda p: local_ba(p, cam))
-    jax.block_until_ready(fn(prob))
-    walls = []
-    for _ in range(5):
-        t0 = time.time()
+    # device-resident latency: the BA runs INSIDE the jitted slam step in
+    # production, so the budget compares device time, not per-launch host
+    # round-trips (which dominate a single dispatch through the TPU
+    # tunnel).  Chain N solves in one program and difference the walls.
+    def chain(n):
+        @jax.jit
+        def f(p):
+            def body(carry, _):
+                r = local_ba(p._replace(poses=carry.poses,
+                                        invdepth=carry.invdepth), cam)
+                return r, None
+            r, _ = jax.lax.scan(body, local_ba(p, cam), None, length=n - 1)
+            return r.cost
+        return f
+
+    def best(fn, reps=5):
         jax.block_until_ready(fn(prob))
-        walls.append(time.time() - t0)
-    return min(walls) * 1e3
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(fn(prob))
+            walls.append(time.time() - t0)
+        return min(walls)
+
+    t1 = best(chain(1))
+    t9 = best(chain(9))
+    return (t9 - t1) / 8 * 1e3, t1 * 1e3
 
 
 def main():
@@ -403,15 +446,16 @@ def main():
 
         # ---- config 5 resolution: 1080p concurrent streams ----
         fps_hd = bench_1080p_streams(jax, jnp)
-        aux("multistream_1080p_fps", fps_hd, "frames/sec", streams=4)
+        aux("multistream_1080p_fps", fps_hd, "frames/sec", streams=8)
 
         # ---- config 3: loop-closure query on a full 256-entry DB ----
         ms, found = bench_loop_closure(jax, jnp)
         aux("loop_query_latency_256kf", ms, "ms", detected=found)
 
         # ---- config 4: 10k-landmark BA ----
-        ms = bench_ba_10k(jax, jnp)
-        aux("local_ba_10k_landmarks", ms, "ms", budget_ms=10)
+        ms, ms_launch = bench_ba_10k(jax, jnp)
+        aux("local_ba_10k_landmarks", ms, "ms", budget_ms=10,
+            single_launch_ms=round(ms_launch, 2))
 
     print(json.dumps({
         "metric": "multistream_fps_per_chip_640x480",

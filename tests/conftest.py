@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # user code runs, so the env var alone is not enough — force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the e2e/multistream/serving suites spend
+# most of their wall time re-compiling identical programs run-to-run on
+# this single-core host; the cache cuts repeat runs from minutes to
+# seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/alvaar_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -34,6 +42,9 @@ _SLOW_MODULES = {
     "test_checkpoint",
     "test_pallas_klt",
     "test_system_extra",
+    "test_ref_parity",
+    "test_serving",
+    "test_lowcontrast",
 }
 
 

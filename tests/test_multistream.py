@@ -169,3 +169,44 @@ class TestServingLoopClosure:
         # at least one stream registered a loop hit (last_match set)
         assert (np.asarray(dbs.last_match) >= 0).any(), \
             f"no loop registered: last_match={np.asarray(dbs.last_match)}"
+
+
+class TestServingAccuracy:
+    def test_multistream_ate_bounded_vs_single(self, rng):
+        """Keyframe deferral under the top-k scheduler costs accuracy;
+        this bounds the cost: batched-serving ATE must stay within 1.5x
+        of the single-stream ATE on the same sequence (VERDICT r2 weak
+        #5)."""
+        from tests.render_scene import TwoPlaneScene, ate_rmse, trajectory
+        from alvaar_tpu.parallel.multistream import make_multistream_scan
+
+        cfg = SlamConfig(width=240, height=180, cell_size=20, window_size=8,
+                         max_landmarks=320, ransac_iters=40, ba_iters=2,
+                         pyramid_levels=2, init_parallax_px=15.0,
+                         min_init_keypoints=10)
+        cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
+        scene = TwoPlaneScene(np.random.default_rng(5), width=cfg.width,
+                              height=cfg.height, fov=60.0, tex_scale=120.0)
+        N = 30
+        gt = trajectory(N, step=0.05)
+        frames = np.stack([scene.render(gt[i]) for i in range(N)])
+
+        def run(B, kf_slots):
+            # stream 0 sees the real sequence; fillers see offset copies
+            seq = np.stack([np.roll(frames, -b, axis=0) for b in range(B)],
+                           axis=1)
+            states = init_multistream_state(cfg, B)
+            run_fn = make_multistream_scan(cfg, cam, kf_slots=kf_slots)
+            _, (statuses, poses) = run_fn(
+                states, jnp.asarray(seq, jnp.float32),
+                jnp.ones((N, B), jnp.float32))
+            st = np.asarray(statuses)[:, 0]
+            po = np.asarray(poses)[:, 0]
+            idx = np.where(st == 1)[0]
+            assert len(idx) >= 12, f"tracked {len(idx)}/{N}"
+            return ate_rmse(po[idx][:, :3, 3], gt[idx][:, :3, 3])
+
+        ate_single = run(B=1, kf_slots=1)
+        ate_multi = run(B=4, kf_slots=1)   # 4 streams share 1 kf slot
+        assert ate_multi <= 1.5 * ate_single + 1e-4, (
+            f"multistream ATE {ate_multi:.4f} vs single {ate_single:.4f}")

@@ -35,3 +35,32 @@ def test_pallas_kernel_matches_xla(rng, monkeypatch):
     np.testing.assert_allclose(xy_p, xy_x, atol=1e-4)
     np.testing.assert_array_equal(ok_p, ok_x)
     np.testing.assert_allclose(err_p, err_x, atol=1e-4)
+
+
+def test_pallas_on_chip_parity_production_shapes():
+    """Run tools/check_pallas_parity.py on the REAL TPU at 640x480 with
+    the production config — the interpret-mode test above cannot catch
+    Mosaic lowering bugs.  Skipped when no TPU is reachable."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "check_pallas_parity.py")],
+        env=env, cwd=root, capture_output=True, text=True, timeout=1800)
+    line = (r.stdout.strip().splitlines() or [""])[-1]
+    try:
+        res = json.loads(line)
+    except json.JSONDecodeError:
+        pytest.fail(f"no JSON from parity check: {r.stdout}\n{r.stderr}")
+    if not res.get("ok") and res.get("reason") == "no TPU backend":
+        pytest.skip("no TPU backend reachable")
+    assert res["ok"], res
+    assert res["n_tracked_pallas"] > 50, res

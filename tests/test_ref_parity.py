@@ -1,0 +1,59 @@
+"""Accuracy parity against the NATIVE reference engine (the BASELINE
+target: "ATE RMSE within 1% of the WASM reference").
+
+tests/golden/ holds trajectories recorded from the reference C++ engine
+(reference src/slam/src, built for the host by tools/ref_native/build.sh,
+recorded by tools/ref_native/record_golden.py) on the exact synthetic
+sequence bench.py uses.  This test runs our engine on the same frames and
+asserts the sim3-aligned ATE to the closest reference run stays within
+1% of the reference trajectory span (metric-based comparison per SURVEY
+§4 — the reference seeds RANSAC from std::random_device, so bitwise
+parity is undefined; its own run-to-run spread is the noise floor).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from alvaar_tpu import AlvaAR
+from alvaar_tpu.utils.parity import GOLDEN_DIR, ate_vs_reference
+from tests.render_scene import TwoPlaneScene, ate_rmse, trajectory
+
+GOLDEN = os.path.join(GOLDEN_DIR, "ref_synthetic_640.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN),
+                    reason="golden reference trajectories not recorded "
+                           "(run tools/ref_native/record_golden.py)")
+def test_ate_parity_vs_reference_synthetic():
+    g = np.load(GOLDEN)
+    n = int(g["n_frames"])
+    rng = np.random.default_rng(int(g["seed"]))
+    scene = TwoPlaneScene(rng, width=640, height=480, fov=60.0,
+                          tex_scale=120.0)
+    gt = trajectory(n + 45, step=0.04)[:n]
+    frames = np.stack([scene.render(gt[i]) for i in range(n)])
+
+    slam = AlvaAR(640, 480, fov=60.0)
+    statuses, poses = slam.process_frames(frames, chunk=30)
+
+    par = ate_vs_reference(statuses, poses, "ref_synthetic_640.npz")
+    assert par is not None, "no overlapping tracked frames with reference"
+    assert par["overlap"] >= 80, par
+    # the 1% BASELINE bar, vs the reference's own nondeterminism floor
+    assert par["ate_pct"] <= 1.0, (
+        f"ATE vs reference {par['ate_pct']:.2f}% of trajectory span "
+        f"(reference self-noise {par['ref_noise_pct']:.2f}%)")
+
+    # we should also be at least as accurate vs ground truth as the
+    # reference is (measured r3: ours 0.79 cm, reference 0.97-1.30 cm)
+    idx = np.where(statuses == 1)[0]
+    ours_gt = ate_rmse(poses[idx][:, :3, 3], gt[idx][:, :3, 3])
+    ref_gt = []
+    for r in range(g["status"].shape[0]):
+        ridx = np.where(g["status"][r] == 1)[0]
+        ref_gt.append(ate_rmse(g["poses"][r][ridx][:, :3, 3],
+                               gt[ridx][:, :3, 3]))
+    assert ours_gt <= 1.25 * min(ref_gt), (
+        f"ours {ours_gt:.4f} m vs reference best {min(ref_gt):.4f} m")

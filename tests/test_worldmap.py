@@ -122,6 +122,9 @@ class TestLocalMapMatching:
             lm_is3d=st.lm_is3d.at[0].set(True).at[1].set(True),
             lm_pos=st.lm_pos.at[0].set(pos).at[1].set(pos + 0.01),
             lm_desc=st.lm_desc.at[0].set(desc).at[1].set(desc),
+            # matching is bag-aware (min cross-bag): seed both bags
+            lm_desc_bag=st.lm_desc_bag.at[0, 0].set(desc).at[1, 0].set(desc),
+            lm_desc_cnt=st.lm_desc_cnt.at[0].set(1).at[1].set(1),
             lm_obs=st.lm_obs.at[0, 0].set(True).at[0, 1].set(True)
                             .at[1, slot].set(True),
         )
@@ -158,6 +161,8 @@ class TestLocalMapMatching:
             lm_is3d=st.lm_is3d.at[0].set(True).at[1].set(True),
             lm_pos=st.lm_pos.at[0].set(pos).at[1].set(pos + 0.01),
             lm_desc=st.lm_desc.at[0].set(desc).at[1].set(desc),
+            lm_desc_bag=st.lm_desc_bag.at[0, 0].set(desc).at[1, 0].set(desc),
+            lm_desc_cnt=st.lm_desc_cnt.at[0].set(1).at[1].set(1),
             # BOTH observed by keyframe 1 → not merge candidates
             lm_obs=st.lm_obs.at[0, 1].set(True).at[1, 1].set(True)
                             .at[1, slot].set(True),
