@@ -352,20 +352,22 @@ def refine_landmark_depths(state: MapState, cam: Camera,
     return state._replace(lm_pos=lm_pos)
 
 
-def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
-    """Local BA over the window + write-back + outlier pruning + culling
-    (reference mapper.cpp:63-71 optimize → optimizer.cpp localBA)."""
+def build_ba_problem(state: MapState, cfg: SlamConfig) -> BAProblem:
+    """Assemble the window's BA problem (the exact inputs run_local_ba
+    solves — also consumed by the Ceres-oracle validation harness,
+    tools/ref_native/ba_oracle.cpp).
+
+    Gauge/constant policy (reference optimizer.cpp:94-107,235-247):
+    low-covisibility keyframes are constant; the two oldest live ones
+    are always constant.  Divergence (document-and-diverge): with only
+    TWO live keyframes (the bootstrap pair) the second-oldest stays
+    FREE — otherwise the init baseline direction is frozen forever and
+    a skewed essential bootstrap can never be repaired (the rotation
+    gauge + reprojection keep the problem well-posed; monocular scale
+    is held by LM damping).
+    """
     slot = state.cur_kf_slot
     covis = covisibility(state)
-
-    # gauge/constant policy (reference optimizer.cpp:94-107,235-247):
-    # low-covisibility keyframes are constant; the two oldest live ones
-    # are always constant.  Divergence (document-and-diverge): with only
-    # TWO live keyframes (the bootstrap pair) the second-oldest stays
-    # FREE — otherwise the init baseline direction is frozen forever and
-    # a skewed essential bootstrap can never be repaired (the rotation
-    # gauge + reprojection keep the problem well-posed; monocular scale
-    # is held by LM damping).
     score = covis[:, slot]
     constant = (score < cfg.ba_min_covisibility) & state.kf_valid
     ids = jnp.where(state.kf_valid, state.kf_id, jnp.iinfo(jnp.int32).max)
@@ -380,11 +382,20 @@ def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
     ba_obs = (state.kf_obs_valid
               & state.lm_valid[obs_lm] & state.lm_is3d[obs_lm])
 
-    prob = BAProblem(
+    return BAProblem(
         poses=state.kf_pose, kf_valid=state.kf_valid, constant=constant,
         anchor_kf=state.lm_anchor, anchor_mxy=state.lm_mxy,
         invdepth=state.lm_invd, lm_valid=state.lm_valid & state.lm_is3d,
         obs_lm=obs_lm, obs_px=state.kf_obs_px, obs_valid=ba_obs)
+
+
+def run_local_ba(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
+    """Local BA over the window + write-back + outlier pruning + culling
+    (reference mapper.cpp:63-71 optimize → optimizer.cpp localBA)."""
+    slot = state.cur_kf_slot
+    prob = build_ba_problem(state, cfg)
+    obs_lm = prob.obs_lm
+    ba_obs = prob.obs_valid
     res = local_ba(prob, cam, iters=cfg.ba_iters, refine_iters=2,
                    huber_delta=cfg.huber_thresh)
 

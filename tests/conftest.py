@@ -43,6 +43,7 @@ _SLOW_MODULES = {
     "test_pallas_klt",
     "test_system_extra",
     "test_ref_parity",
+    "test_ba_oracle",
     "test_serving",
     "test_lowcontrast",
 }
