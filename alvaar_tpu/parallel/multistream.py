@@ -320,12 +320,30 @@ def shard_states(states: MapState, mesh: Mesh, axis: str = "streams"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), states)
 
 
-def make_multistream_scan(cfg: SlamConfig, cam: Camera, kf_slots: int = 4):
+def make_multistream_scan(cfg: SlamConfig, cam: Camera, kf_slots: int = 4,
+                          loop_closure: bool = False, loop_delay: int = 50):
     """Single-device serving loop: iterate the split-phase multi-stream
     step over pre-staged frames [N, B, H, W] under one ``lax.scan`` (the
     bench.py device-throughput harness; production serving replaces the
     scan with a host feed loop).  Returns (final_states, (statuses
-    [N, B], poses [N, B, 4, 4]))."""
+    [N, B], poses [N, B, 4, 4])); with ``loop_closure`` the runner takes
+    an extra stacked per-stream LoopDB (init_multistream_loopdbs) and
+    returns ((final_states, final_dbs), outs)."""
+
+    if loop_closure:
+        @jax.jit
+        def run_lc(states: MapState, frames, dts, dbs):
+            def body(carry, xs):
+                states, dbs = carry
+                f, dt = xs
+                states, dbs, out = multistream_step_local(
+                    states, f, dt, cam, cfg, kf_slots, dbs=dbs,
+                    loop_delay=loop_delay)
+                return (states, dbs), (out.status, out.pose_wc)
+
+            return jax.lax.scan(body, (states, dbs), (frames, dts))
+
+        return run_lc
 
     @jax.jit
     def run(states: MapState, frames, dts):

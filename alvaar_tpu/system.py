@@ -276,13 +276,24 @@ class AlvaAR:
             dts[dts <= 0] = 1.0
             self._last_ts = float(ts[-1])
         statuses, poses = [], []
-        for lo in range(0, n, chunk):
+        tail = n % chunk
+        for lo in range(0, n - tail, chunk):
             fr = frames[lo:lo + chunk]
             scan = self._get_scan(fr)
             self.state, (st, po) = scan(self.state, jnp.asarray(fr),
                                         jnp.asarray(dts[lo:lo + chunk]))
             statuses.append(st)
             poses.append(po)
+        # the final partial chunk runs through the per-frame step: a
+        # second scan SHAPE would recompile the whole pipeline (~minutes
+        # on this host) to save at most chunk-1 dispatches
+        for i in range(n - tail, n):
+            step = self._get_step(frames[i])
+            self.state, packed, _, _ = step(self.state,
+                                            jnp.asarray(frames[i]),
+                                            jnp.float32(dts[i]))
+            statuses.append(packed[0].astype(jnp.int32)[None])
+            poses.append(packed[1:17].reshape(1, 4, 4))
         self._last_out = None
         statuses = np.concatenate([np.asarray(s) for s in statuses])
         poses = np.concatenate([np.asarray(p) for p in poses])

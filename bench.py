@@ -122,7 +122,28 @@ def bench_multistream(jax, jnp, cfg, cam, frames_np, gt, B, kf_slots,
                                  gt_b[idx][:, :3, 3]))
     agg_fps = N * B / wall
     return agg_fps, (float(np.median(ates)) if ates else float("nan")), \
-        int(np.median(tracked)), N
+        int(np.median(tracked)), N, frames_dev, dts, states
+
+
+def bench_multistream_loop(jax, jnp, cfg, cam, frames_dev, dts, states,
+                           kf_slots, reps=2):
+    """Headline workload with per-stream loop closure enabled (detection
+    + verification + sim3 correction inside the keyframe sub-batch) —
+    the long-session serving configuration."""
+    from alvaar_tpu.parallel.multistream import (init_multistream_loopdbs,
+                                                 make_multistream_scan)
+    N, B = frames_dev.shape[:2]
+    dbs = init_multistream_loopdbs(cfg, B, capacity=256)
+    run = make_multistream_scan(cfg, cam, kf_slots=kf_slots,
+                                loop_closure=True)
+    log(f"compiling loop-closure serving scan (B={B})...")
+    jax.block_until_ready(run(states, frames_dev, dts, dbs))
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(run(states, frames_dev, dts, dbs))
+        walls.append(time.time() - t0)
+    return N * B / min(walls)
 
 
 def bench_1080p_streams(jax, jnp, B=8, N=12):
@@ -206,11 +227,15 @@ def bench_real_video(jax, jnp, n_frames=300):
         tss.append(ts)
     frames = np.stack(frames)
 
-    # ---- throughput path: process_frames (compile on a prefix first)
-    alva.process_frames(frames[:32], timestamps=tss[:32])
+    # ---- throughput path: process_frames (warm BOTH programs on a
+    # prefix first: the chunk scan and the per-frame tail step)
+    chunk = 64
+    alva.process_frames(frames[:chunk + 1], timestamps=tss[:chunk + 1],
+                        chunk=chunk)
     alva.reset()
     t0 = time.time()
-    statuses, poses = alva.process_frames(frames, timestamps=tss)
+    statuses, poses = alva.process_frames(frames, timestamps=tss,
+                                          chunk=chunk)
     wall = time.time() - t0
     fps_stream = len(frames) / wall
     tracked = int((statuses == 1).sum())
@@ -391,6 +416,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs on this single-core
+    # host skip the ~3 min/program XLA compiles
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/alvaar_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     sys.path.insert(0, "tests")
     from render_scene import TwoPlaneScene, trajectory
 
@@ -410,14 +442,21 @@ def main():
     frames_np = np.stack([scene.render(gt[i]) for i in range(M)])
 
     # ---- headline: multi-stream aggregate ----
-    agg_fps, ms_ate, ms_tracked, N = bench_multistream(
-        jax, jnp, cfg, cam, frames_np, gt, args.streams, args.kf_slots)
+    agg_fps, ms_ate, ms_tracked, N, frames_dev, dts, states0 = \
+        bench_multistream(
+            jax, jnp, cfg, cam, frames_np, gt, args.streams, args.kf_slots)
     aux("multistream_ate_median", ms_ate * 100, "cm",
         tracked=f"{ms_tracked}/{N}", streams=args.streams)
     log(f"multi-stream: {agg_fps:.1f} frames/sec/chip aggregate "
         f"({args.streams} streams, {agg_fps / args.streams:.1f} fps each)")
 
     if not args.skip_aux:
+        # ---- headline workload + per-stream loop closure ----
+        fps_lc = bench_multistream_loop(jax, jnp, cfg, cam, frames_dev,
+                                        dts, states0, args.kf_slots)
+        aux("multistream_loop_fps", fps_lc, "frames/sec",
+            streams=args.streams, target=500)
+        del frames_dev
         # ---- config 1 single-stream latency path ----
         fps1, ate1, tracked1 = bench_single(
             jax, jnp, cfg, cam,
