@@ -49,6 +49,12 @@ class LoopDB(NamedTuple):
                         # querying unpacks 50 MB of DB bits otherwise
                         # (~8 ms HBM-bound per query at D=256);
                         # maintained incrementally by db_add
+    sig: jax.Array      # [D, 256] f32 per-entry coarse signature (mean of
+                        # the entry's valid ±1 descriptor bits) — a global
+                        # image descriptor used to prefilter the dense
+                        # Hamming pass to the top-E entries, the dense-DB
+                        # analogue of OBIndex2's pruned tree descent
+                        # (reference binary_tree.cc traverseFromRoot)
     lm_pos: jax.Array   # [D, K, 3] landmark world positions at store time
     lm_is3d: jax.Array  # [D, K] bool
     kp_valid: jax.Array  # [D, K] bool
@@ -83,6 +89,7 @@ def db_init(capacity: int, max_kps: int, dtype=jnp.float32) -> LoopDB:
     return LoopDB(
         desc=jnp.zeros((capacity, max_kps, 8), jnp.uint32),
         desc_pm=jnp.full((capacity * max_kps, 256), -1, jnp.int8),
+        sig=jnp.zeros((capacity, 256), dtype),
         lm_pos=jnp.zeros((capacity, max_kps, 3), dtype),
         lm_is3d=jnp.zeros((capacity, max_kps), bool),
         kp_valid=jnp.zeros((capacity, max_kps), bool),
@@ -100,10 +107,14 @@ def db_add(db: LoopDB, desc, lm_pos, lm_is3d, kp_valid, kf_id,
     """Insert a keyframe into the ring database."""
     i = db.ptr % db.kf_id.shape[0]
     K = db.desc.shape[1]
+    pm = unpack_pm1_i8(desc)
+    nv = jnp.maximum(jnp.sum(kp_valid), 1).astype(db.sig.dtype)
+    sig_row = jnp.sum(jnp.where(kp_valid[:, None], pm, 0)
+                      .astype(db.sig.dtype), axis=0) / nv
     return db._replace(
         desc=db.desc.at[i].set(desc),
-        desc_pm=jax.lax.dynamic_update_slice(
-            db.desc_pm, unpack_pm1_i8(desc), (i * K, 0)),
+        desc_pm=jax.lax.dynamic_update_slice(db.desc_pm, pm, (i * K, 0)),
+        sig=db.sig.at[i].set(sig_row),
         lm_pos=db.lm_pos.at[i].set(lm_pos),
         lm_is3d=db.lm_is3d.at[i].set(lm_is3d),
         kp_valid=db.kp_valid.at[i].set(kp_valid),
@@ -115,33 +126,67 @@ def db_add(db: LoopDB, desc, lm_pos, lm_is3d, kp_valid, kf_id,
 
 
 @partial(jax.jit, static_argnames=("nndr", "min_score", "island_r", "delay",
-                                   "min_votes"))
+                                   "min_votes", "prefilter"))
 def detect_loop(db: LoopDB, desc_q, valid_q, query_kf_id, *,
                 nndr: float = 0.8, min_score: float = 0.3,
                 island_r: int = 10, delay: int = 50,
-                min_votes: int = 8) -> tuple[LoopDB, LoopResult]:
+                min_votes: int = 8,
+                prefilter: int = 16) -> tuple[LoopDB, LoopResult]:
     """Query the database with the current keyframe's descriptors.
+
+    ``prefilter``: when the database holds more than this many entries,
+    a coarse signature pass (query mean-descriptor vs per-entry ``sig``,
+    one [D, 256] matvec) selects the top-``prefilter`` entries and the
+    dense per-descriptor Hamming pass runs only against those — the
+    dense-DB analogue of OBIndex2's pruned tree search (reference
+    binary_tree.cc traverseFromRoot / lcdetector.cc:117-142), ~D/E times
+    cheaper at keyframe cadence.  Set 0 to always run the full pass.
 
     Returns (db with updated temporal-consistency state, LoopResult).
     """
     D, K, _ = db.desc.shape
     Kq = desc_q.shape[0]
-
-    # ---- one dense Hamming pass: [Kq, D*K] int8 MXU contraction against
-    # the resident ±1 DB (no per-query unpack) ----
-    dist = hamming_vs_pm1(desc_q, db.desc_pm)
-    db_ok = (db.kp_valid.reshape(-1)
-             & (db.kf_id[:, None] >= 0).repeat(K, 1).reshape(-1)
-             # the delay queue: recent keyframes are not loop candidates
-             & (query_kf_id - db.kf_id[:, None].repeat(K, 1).reshape(-1)
-                > delay))
     BIG = jnp.asarray(1e9, jnp.float32)
-    dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
+
+    uq = unpack_pm1_i8(desc_q)                              # [Kq, 256]
+    # entry-level gates: empty slots + the delay queue (recent keyframes
+    # are not loop candidates)
+    entry_ok = (db.kf_id >= 0) & (query_kf_id - db.kf_id > delay)
+
+    if prefilter and D > prefilter:
+        # ---- coarse pass: query signature vs per-entry signatures ----
+        nq = jnp.maximum(jnp.sum(valid_q), 1).astype(db.sig.dtype)
+        qsig = jnp.sum(jnp.where(valid_q[:, None], uq, 0)
+                       .astype(db.sig.dtype), axis=0) / nq  # [256]
+        coarse = db.sig @ qsig                              # [D]
+        coarse = jnp.where(entry_ok, coarse, -jnp.inf)
+        _, top_e = jax.lax.top_k(coarse, prefilter)         # [E]
+        E = prefilter
+
+        # ---- dense Hamming only on the E selected entries ----
+        sub_pm = db.desc_pm.reshape(D, K, 256)[top_e].reshape(E * K, 256)
+        dots = jax.lax.dot_general(uq, sub_pm, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        dist = (256 - dots).astype(jnp.float32) * 0.5       # [Kq, E*K]
+        sub_ok = (db.kp_valid[top_e].reshape(-1)
+                  & entry_ok[top_e].repeat(K))
+        dist = jnp.where(sub_ok[None, :] & valid_q[:, None], dist, BIG)
+        best, second, bi = _top2_min(dist)
+        match_img = top_e[bi // K]                          # [Kq] db slot
+    else:
+        # ---- one dense Hamming pass: [Kq, D*K] int8 MXU contraction
+        # against the resident ±1 DB (no per-query unpack) ----
+        dots = jax.lax.dot_general(uq, db.desc_pm, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        dist = (256 - dots).astype(jnp.float32) * 0.5
+        db_ok = (db.kp_valid.reshape(-1)
+                 & entry_ok[:, None].repeat(K, 1).reshape(-1))
+        dist = jnp.where(db_ok[None, :] & valid_q[:, None], dist, BIG)
+        best, second, bi = _top2_min(dist)
+        match_img = bi // K                                 # [Kq] db slot
 
     # ---- kNN + NNDR ratio filter (lcdetector.cc:169-181) ----
-    best, second, bi = _top2_min(dist)
     match_ok = (best <= second * nndr) & (best < 256.0)
-    match_img = bi // K                                 # [Kq] db slot
 
     # ---- image voting (searchImages) ----
     votes = jnp.zeros((D,), jnp.float32).at[match_img].add(

@@ -330,6 +330,12 @@ def make_multistream_scan(cfg: SlamConfig, cam: Camera, kf_slots: int = 4,
     an extra stacked per-stream LoopDB (init_multistream_loopdbs) and
     returns ((final_states, final_dbs), outs)."""
 
+    # NOTE on donation: these scan runners deliberately do NOT donate
+    # states/dbs — the bench harness re-runs the same program on the SAME
+    # input buffers across reps (donation would invalidate them after the
+    # first call).  The production serving path (serving/server.py:115)
+    # donates; double-buffered HBM here is bounded by the bench shapes
+    # (states+dbs ≈ 0.4 GB at B=16, vs 2.4 GB of staged frames).
     if loop_closure:
         @jax.jit
         def run_lc(states: MapState, frames, dts, dbs):

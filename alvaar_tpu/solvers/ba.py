@@ -206,6 +206,64 @@ def _residuals_jacobians(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera,
     return r.reshape(W, K, 2), J.reshape(W, K, 2, 13), z.reshape(W, K)
 
 
+def _rot_soa(qw, qx, qy, qz, vx, vy, vz):
+    """quat_rotate on component planes: v + 2*q×(q×v + w*v) — every
+    operand a full [W, K] array, so the VPU runs at full lane width."""
+    cx = qy * vz - qz * vy + qw * vx
+    cy = qz * vx - qx * vz + qw * vy
+    cz = qx * vy - qy * vx + qw * vz
+    return (vx + 2.0 * (qy * cz - qz * cy),
+            vy + 2.0 * (qz * cx - qx * cz),
+            vz + 2.0 * (qx * cy - qy * cx))
+
+
+def _residuals_fast(vp: _VirtualProblem, poses: SE3, lam_v, cam: Camera):
+    """Jacobian-free residual/depth pass in SoA form.
+
+    Identical semantics to ``_residuals_jacobians(..., with_jac=False)``
+    but computed on [W, K] component planes instead of a vmap over W·K
+    observations with 2-4-wide trailing dims — the vmapped form pads
+    every intermediate to 128 lanes at ~3% utilization and measured
+    ~4.3 ms at production shapes vs sub-millisecond here.  This pass
+    runs every LM iteration (trial cost) and twice more for pruning, so
+    it dominated the 10k-landmark BA budget (reference budget ≤10 ms,
+    optimizer.cpp:251-262).
+    """
+    lam = jnp.einsum("gwk,gk->wk", vp.E, lam_v)
+    lam = jnp.where(vp.valid, lam, 1.0)
+    lam_safe = jnp.where(jnp.abs(lam) < 1e-6, 1e-6, lam)
+
+    # anchor-frame point X_a = [mxy, 1] / lam
+    Xax = vp.mxy[..., 0] / lam_safe
+    Xay = vp.mxy[..., 1] / lam_safe
+    Xaz = 1.0 / lam_safe
+
+    # anchor pose per obs (gathered via the anchor one-hot)
+    q_a = jnp.einsum("wkv,vq->wkq", vp.A1hot, poses.q)
+    t_a = jnp.einsum("wkv,vq->wkq", vp.A1hot, poses.t)
+
+    # X_w = R(q_a)ᵀ (X_a − t_a)   (T_a⁻¹ · X_a, conjugate rotation)
+    vx = Xax - t_a[..., 0]
+    vy = Xay - t_a[..., 1]
+    vz = Xaz - t_a[..., 2]
+    Xwx, Xwy, Xwz = _rot_soa(q_a[..., 0], -q_a[..., 1], -q_a[..., 2],
+                             -q_a[..., 3], vx, vy, vz)
+
+    # X_c = R(q_o) X_w + t_o  (observer pose broadcast along K)
+    ow = poses.q[:, None, 0]
+    Xcx, Xcy, Xcz = _rot_soa(ow, poses.q[:, None, 1], poses.q[:, None, 2],
+                             poses.q[:, None, 3], Xwx, Xwy, Xwz)
+    Xcx = Xcx + poses.t[:, None, 0]
+    Xcy = Xcy + poses.t[:, None, 1]
+    z = Xcz + poses.t[:, None, 2]
+
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam.fx * Xcx / z_safe + cam.cx
+    v = cam.fy * Xcy / z_safe + cam.cy
+    r = jnp.stack([u - vp.px[..., 0], v - vp.px[..., 1]], axis=-1)
+    return r, z
+
+
 def _huber_w(r2, delta):
     rn = jnp.sqrt(r2.clip(1e-12))
     return jnp.where(rn <= delta, 1.0, delta / rn)
@@ -385,8 +443,7 @@ def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
         jacobian-free residual pass for the trial cost."""
 
         def cost_only(poses, lam_v):
-            r, _, _ = _residuals_jacobians(vp, poses, lam_v, cam,
-                                           with_jac=False)
+            r, _ = _residuals_fast(vp, poses, lam_v, cam)
             r2 = jnp.sum(r * r, axis=-1)
             return jnp.sum(jnp.where(vp.valid,
                                      _huber_rho(r2, delta_huber), 0.0))
@@ -420,7 +477,7 @@ def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
                                  prob.poses, vp.lam_v)
 
     # prune: chi2 or non-positive depth in the observer frame
-    r, _, z = _residuals_jacobians(vp, poses1, lam_v1, cam, with_jac=False)
+    r, z = _residuals_fast(vp, poses1, lam_v1, cam)
     r2 = jnp.sum(r * r, axis=-1)
     lam_obs1 = jnp.einsum("gwk,gk->wk", vp.E, lam_v1)
     keep = vp.valid & (r2 <= chi2_thresh) & (z > 0) & (lam_obs1 > 1e-6)
@@ -432,7 +489,7 @@ def _local_ba_impl(prob: BAProblem, cam: Camera, *, iters, refine_iters,
     huge = jnp.asarray(1e9, prob.invdepth.dtype)  # Huber with huge delta == L2
     poses2, lam_v2, cost = lm_phase(vp2, huge, refine_iters, poses1, lam_v1)
 
-    r, _, z = _residuals_jacobians(vp2, poses2, lam_v2, cam, with_jac=False)
+    r, z = _residuals_fast(vp2, poses2, lam_v2, cam)
     r2 = jnp.sum(r * r, axis=-1)
     lam_obs2 = jnp.einsum("gwk,gk->wk", vp.E, lam_v2)
     inlier = vp.valid & (r2 <= chi2_thresh) & (z > 0) & (lam_obs2 > 1e-6)

@@ -68,6 +68,14 @@ class PendingResult:
         self._points = points
         self._points_valid = points_valid
         self._np = None
+        # start the tiny packed readback as a NON-blocking D2H transfer
+        # now, overlapped with subsequent frames' compute: on a tunneled
+        # device a synchronous np.asarray costs a full network round-trip
+        # (~30 ms) per result, which would dominate the frame loop
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests pass np arrays)
+            pass
 
     def _sync(self):
         if self._np is None:
@@ -284,9 +292,20 @@ class AlvaAR:
                                         jnp.asarray(dts[lo:lo + chunk]))
             statuses.append(st)
             poses.append(po)
-        # the final partial chunk runs through the per-frame step: a
-        # second scan SHAPE would recompile the whole pipeline (~minutes
-        # on this host) to save at most chunk-1 dispatches
+        # the final partial chunk: reuse an already-compiled scan of the
+        # exact tail shape when one exists (short clips repeat shapes),
+        # else run per-frame steps — a NEW scan shape would recompile the
+        # whole pipeline (~minutes on this host) to save at most chunk-1
+        # dispatches
+        tail_key = (((tail,) + frames.shape[1:]), str(frames.dtype))
+        if tail and tail_key in self._scan_cache:
+            fr = frames[n - tail:]
+            scan = self._scan_cache[tail_key]
+            self.state, (st, po) = scan(self.state, jnp.asarray(fr),
+                                        jnp.asarray(dts[n - tail:]))
+            statuses.append(st)
+            poses.append(po)
+            tail = 0
         for i in range(n - tail, n):
             step = self._get_step(frames[i])
             self.state, packed, _, _ = step(self.state,

@@ -8,7 +8,15 @@ sub-batch; parallel/multistream.py), frames pre-staged in HBM and the
 whole serving loop under one ``lax.scan``.  vs_baseline = fps / 500
 (the driver target: ≥500 frames/sec/chip).
 
-Auxiliary metrics (stderr, JSON-per-line for humans/CI):
+The headline JSON prints IMMEDIATELY after the multi-stream bench and is
+the ONLY bare-JSON line on any stream — auxiliary metrics are prefixed
+``aux `` so a driver that parses "the last JSON line" always finds the
+headline even if a later stage is killed.  A wall-clock budget
+(``--budget`` / $ALVAAR_BENCH_BUDGET, default 1500 s) guards the aux
+stages: each is skipped when its worst-case cold-compile estimate no
+longer fits, so the process exits 0 inside the driver timeout.
+
+Auxiliary metrics (stderr, ``aux``-prefixed JSON-per-line for humans/CI):
   * config 1 single-stream latency path: fps + ATE on the synthetic
     golden trajectory (the video.html workload,
     reference examples/public/video.html:148-195);
@@ -34,8 +42,11 @@ def log(*a):
 
 
 def aux(metric, value, unit, **kw):
-    log(json.dumps({"metric": metric, "value": round(float(value), 3),
-                    "unit": unit, **kw}))
+    # "aux " prefix keeps these lines from parsing as bare JSON — the
+    # driver's headline parse must only ever match the real headline.
+    log("aux " + json.dumps({"metric": metric,
+                             "value": round(float(value), 3),
+                             "unit": unit, **kw}))
 
 
 def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
@@ -129,7 +140,11 @@ def bench_multistream_loop(jax, jnp, cfg, cam, frames_dev, dts, states,
                            kf_slots, reps=2):
     """Headline workload with per-stream loop closure enabled (detection
     + verification + sim3 correction inside the keyframe sub-batch) —
-    the long-session serving configuration."""
+    the long-session serving configuration.
+
+    Returns (fps, median tracked count) — tracking quality is validated,
+    not just speed, so a regression that breaks poses under loop closure
+    (e.g. a bad sim3 correction) fails the benchmark."""
     from alvaar_tpu.parallel.multistream import (init_multistream_loopdbs,
                                                  make_multistream_scan)
     N, B = frames_dev.shape[:2]
@@ -137,13 +152,20 @@ def bench_multistream_loop(jax, jnp, cfg, cam, frames_dev, dts, states,
     run = make_multistream_scan(cfg, cam, kf_slots=kf_slots,
                                 loop_closure=True)
     log(f"compiling loop-closure serving scan (B={B})...")
-    jax.block_until_ready(run(states, frames_dev, dts, dbs))
+    _, (statuses, poses) = jax.block_until_ready(
+        run(states, frames_dev, dts, dbs))
+    statuses = np.asarray(statuses)                       # [N, B]
+    tracked = int(np.median((statuses == 1).sum(axis=0)))
+    assert tracked >= N // 3, \
+        f"loop-closure scan tracks only {tracked}/{N} frames"
+    assert np.isfinite(np.asarray(poses)).all(), \
+        "non-finite poses under loop closure"
     walls = []
     for _ in range(reps):
         t0 = time.time()
         jax.block_until_ready(run(states, frames_dev, dts, dbs))
         walls.append(time.time() - t0)
-    return N * B / min(walls)
+    return N * B / min(walls), tracked
 
 
 def bench_1080p_streams(jax, jnp, B=8, N=12):
@@ -401,12 +423,19 @@ def bench_ba_10k(jax, jnp):
 
 
 def main():
+    t_start = time.time()
+    import os
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=16)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--kf-slots", type=int, default=None,
                     help="keyframe sub-batch size (default: streams/6)")
     ap.add_argument("--skip-aux", action="store_true")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("ALVAAR_BENCH_BUDGET",
+                                                 "1500")),
+                    help="wall-clock budget in seconds; aux stages whose "
+                         "worst-case cost no longer fits are skipped")
     args = ap.parse_args()
     if args.kf_slots is None:
         # measured optimum: slots just above the aggregate keyframe
@@ -418,10 +447,14 @@ def main():
 
     # persistent compile cache: repeat bench runs on this single-core
     # host skip the ~3 min/program XLA compiles
-    import os
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/alvaar_jax_cache"))
+    cache_dir = os.path.expanduser("~/.cache/alvaar_jax_cache")
+    cache_warm = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # disclose cache state so "compile+first run" timings are
+    # interpretable across revisions (a warm cache makes them cache hits)
+    log(f"persistent compile cache: {'WARM' if cache_warm else 'cold'} "
+        f"({cache_dir})")
 
     sys.path.insert(0, "tests")
     from render_scene import TwoPlaneScene, trajectory
@@ -445,19 +478,49 @@ def main():
     agg_fps, ms_ate, ms_tracked, N, frames_dev, dts, states0 = \
         bench_multistream(
             jax, jnp, cfg, cam, frames_np, gt, args.streams, args.kf_slots)
+    # the ONE bare-JSON line — printed the moment it exists, so the
+    # round's headline is recorded even if a later aux stage is killed
+    print(json.dumps({
+        "metric": "multistream_fps_per_chip_640x480",
+        "value": round(agg_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(agg_fps / 500.0, 4),
+    }), flush=True)
     aux("multistream_ate_median", ms_ate * 100, "cm",
         tracked=f"{ms_tracked}/{N}", streams=args.streams)
     log(f"multi-stream: {agg_fps:.1f} frames/sec/chip aggregate "
         f"({args.streams} streams, {agg_fps / args.streams:.1f} fps each)")
 
-    if not args.skip_aux:
-        # ---- headline workload + per-stream loop closure ----
-        fps_lc = bench_multistream_loop(jax, jnp, cfg, cam, frames_dev,
-                                        dts, states0, args.kf_slots)
-        aux("multistream_loop_fps", fps_lc, "frames/sec",
-            streams=args.streams, target=500)
-        del frames_dev
-        # ---- config 1 single-stream latency path ----
+    def fits(name, est_cold, est_warm=None):
+        """Budget gate: run a stage only if its worst-case cost fits in
+        the remaining wall-clock budget."""
+        est = (est_warm if cache_warm and est_warm is not None
+               else est_cold)
+        left = args.budget - (time.time() - t_start)
+        if left < est:
+            log(f"SKIP {name}: needs ~{est:.0f}s, {left:.0f}s left "
+                f"of {args.budget:.0f}s budget")
+            return False
+        return True
+
+    # ---- aux stages, in descending value order, each budget-gated and
+    # fault-isolated (one failure must not lose the rest) ----
+    held = {"frames_dev": frames_dev, "states0": states0}
+    del frames_dev, states0
+
+    def stage_loop():
+        try:
+            fps_lc, tracked_lc = bench_multistream_loop(
+                jax, jnp, cfg, cam, held["frames_dev"], dts,
+                held["states0"], args.kf_slots)
+            aux("multistream_loop_fps", fps_lc, "frames/sec",
+                streams=args.streams, target=500,
+                tracked_median=f"{tracked_lc}/{N}")
+        finally:
+            # ~2.4 GB of staged frames — free before the 1080p stage
+            held.clear()
+
+    def stage_single():
         fps1, ate1, tracked1 = bench_single(
             jax, jnp, cfg, cam,
             jax.device_put(jnp.asarray(frames_np[:args.frames],
@@ -466,8 +529,19 @@ def main():
             latency_ms=round(1e3 / fps1, 2))
         aux("single_stream_ate", ate1 * 100, "cm",
             tracked=f"{tracked1}/{args.frames}")
+        aux("multistream_vs_single_ate_ratio",
+            ms_ate / max(ate1, 1e-9), "x", bound=2.5)
 
-        # ---- config 1 on the reference's real demo video ----
+    def stage_ba():
+        ms, ms_launch = bench_ba_10k(jax, jnp)
+        aux("local_ba_10k_landmarks", ms, "ms", budget_ms=10,
+            single_launch_ms=round(ms_launch, 2))
+
+    def stage_1080p():
+        fps_hd = bench_1080p_streams(jax, jnp)
+        aux("multistream_1080p_fps", fps_hd, "frames/sec", streams=8)
+
+    def stage_video():
         rv = bench_real_video(jax, jnp)
         if rv is not None:
             fps_v, fps_async, tracked_v, total_v, rv_poses, rv_st = rv
@@ -477,31 +551,39 @@ def main():
             ate_ref = ate_vs_reference_video(rv_poses, rv_st)
             if ate_ref is not None:
                 aux("ate_vs_reference_video", ate_ref, "%",
-                    target="<=1% of trajectory span")
+                    target="<= reference run-to-run noise floor")
 
-        # ---- config 2: findPlane 720p ----
+    def stage_plane():
         ms, ok = bench_plane_720p(jax, jnp)
         aux("findplane_720p_latency", ms, "ms", iters=250, success=ok)
 
-        # ---- config 5 resolution: 1080p concurrent streams ----
-        fps_hd = bench_1080p_streams(jax, jnp)
-        aux("multistream_1080p_fps", fps_hd, "frames/sec", streams=8)
-
-        # ---- config 3: loop-closure query on a full 256-entry DB ----
+    def stage_loopq():
         ms, found = bench_loop_closure(jax, jnp)
         aux("loop_query_latency_256kf", ms, "ms", detected=found)
 
-        # ---- config 4: 10k-landmark BA ----
-        ms, ms_launch = bench_ba_10k(jax, jnp)
-        aux("local_ba_10k_landmarks", ms, "ms", budget_ms=10,
-            single_launch_ms=round(ms_launch, 2))
+    # (name, fn, worst-case cold seconds, warm-cache seconds)
+    stages = [
+        ("multistream_loop", stage_loop, 240, 40),
+        ("single_stream", stage_single, 180, 40),
+        ("ba_10k", stage_ba, 120, 30),
+        ("1080p_streams", stage_1080p, 300, 60),
+        ("real_video", stage_video, 240, 90),
+        ("findplane_720p", stage_plane, 60, 15),
+        ("loop_query", stage_loopq, 90, 20),
+    ]
+    if not args.skip_aux:
+        for name, fn, est_cold, est_warm in stages:
+            if not fits(name, est_cold, est_warm):
+                if name == "multistream_loop":
+                    held.clear()
+                continue
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — fault isolation
+                log(f"FAIL {name}: {type(e).__name__}: {e}")
 
-    print(json.dumps({
-        "metric": "multistream_fps_per_chip_640x480",
-        "value": round(agg_fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(agg_fps / 500.0, 4),
-    }))
+    log(f"bench total wall: {time.time() - t_start:.1f}s "
+        f"(budget {args.budget:.0f}s)")
 
 
 if __name__ == "__main__":

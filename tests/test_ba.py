@@ -134,3 +134,25 @@ class TestLocalBA:
             b = jax.tree.map(lambda x: x[k], gt_poses)
             errs.append(pose_error(a, b))
         assert max(e[0] for e in errs) < 0.1
+
+
+class TestResidualParity:
+    def test_soa_residuals_match_vmapped_path(self, rng):
+        """_residuals_fast (SoA component planes, the per-LM-iteration
+        trial-cost pass) must agree with the autodiff path's
+        with_jac=False residuals away from the z≈0 clamp."""
+        from alvaar_tpu.solvers.ba import (_build_virtual, _residuals_fast,
+                                           _residuals_jacobians)
+        prob, _, _ = build_problem(rng)
+        with jax.default_matmul_precision("float32"):
+            vp = _build_virtual(prob, CAM)
+            r0, _, z0 = jax.jit(lambda: _residuals_jacobians(
+                vp, prob.poses, vp.lam_v, CAM, False))()
+            r1, z1 = jax.jit(lambda: _residuals_fast(
+                vp, prob.poses, vp.lam_v, CAM))()
+        m = np.asarray(vp.valid) & (np.asarray(z0) > 0.5)
+        assert m.sum() > 100
+        np.testing.assert_allclose(np.asarray(r0)[m], np.asarray(r1)[m],
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(z0)[m], np.asarray(z1)[m],
+                                   rtol=1e-5)
