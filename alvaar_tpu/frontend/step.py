@@ -60,11 +60,15 @@ def preprocess(gray, cfg: SlamConfig):
 # ---------------------------------------------------------------------------
 
 def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
-                     cfg: SlamConfig):
+                     cfg: SlamConfig, allow_cond: bool = True):
     """Two-stage forward-backward KLT (reference
     visual_frontend.cpp:103-243): 3D keypoints tracked at 1 pyramid level
     from motion-prior projections; failures and 2D keypoints retried on
-    the full pyramid from their previous positions."""
+    the full pyramid from their previous positions.
+
+    ``allow_cond`` (static): permit runtime ``lax.cond`` branches (the
+    stage-2 compaction fallback) — real branches single-stream, but a
+    select-both under vmap, so the batched serving path passes False."""
     is3d = (state.kp_valid & state.lm_valid[state.kp_lm]
             & state.lm_is3d[state.kp_lm])
 
@@ -77,18 +81,55 @@ def _track_keypoints(state: MapState, pyr_cur, pose_prior: SE3, cam: Camera,
     klt_args = dict(win=cfg.klt_window, iters=cfg.klt_iters, eps=cfg.klt_eps,
                     err_max=cfg.klt_err_max, fb_dist=cfg.klt_fb_dist,
                     use_pallas=cfg.use_pallas and pallas_available())
+    # tracking resolution: KLT runs at pyramid level ``track_base_level``
+    # (half-res for the HD preset — patch-extraction cost scales with
+    # image area; see config.py) while keypoint coordinates stay in
+    # native pixels.
+    L = cfg.track_base_level
+    sc = float(2 ** L)
+    pyr_p, pyr_c = state.prev_pyr[L:], pyr_cur[L:]
+    pts_t, proj_t = state.kp_px / sc, proj / sc
     # motion-prior stage: the prior is accurate to a few px, so a small
     # search volume suffices (stage 2 re-tries failures at full radius)
-    s1 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, proj, prior_ok,
+    s1 = fb_klt_track(pyr_p, pyr_c, pts_t, proj_t, prior_ok,
                       levels=cfg.klt_prior_levels, search_r=4, **klt_args)
     stage2_mask = state.kp_valid & (~prior_ok | (prior_ok & ~s1.status))
-    s2 = fb_klt_track(state.prev_pyr, pyr_cur, state.kp_px, state.kp_px,
-                      stage2_mask, levels=cfg.pyramid_levels, **klt_args)
+    s2_levels = max(1, cfg.pyramid_levels - L)
+    K = state.kp_px.shape[0]
+    cap = cfg.klt_stage2_slots
+    if allow_cond and cap is not None and cap < K:
+        # fixed retry sub-batch (config.py klt_stage2_slots): compact the
+        # stage-2 candidates into [cap] slots; overflow frames (bootstrap,
+        # post-keyframe detection spikes) take the full-width branch
+        _, idx = jax.lax.top_k(stage2_mask.astype(jnp.float32), cap)
+        sel_valid = stage2_mask[idx]
+
+        def compact(_):
+            s2c = fb_klt_track(pyr_p, pyr_c, pts_t[idx], pts_t[idx],
+                               sel_valid, levels=s2_levels, **klt_args)
+            xy = pts_t.at[idx].set(s2c.xy)
+            status = jnp.zeros((K,), bool).at[idx].set(
+                s2c.status & sel_valid)
+            return xy, status
+
+        def full(_):
+            s2f = fb_klt_track(pyr_p, pyr_c, pts_t, pts_t, stage2_mask,
+                               levels=s2_levels, **klt_args)
+            return s2f.xy, s2f.status
+
+        s2_xy, s2_status = jax.lax.cond(
+            jnp.sum(stage2_mask) <= cap, compact, full, None)
+        from alvaar_tpu.ops.klt import TrackResult
+        s2 = TrackResult(xy=s2_xy, status=s2_status,
+                         err=jnp.zeros((K,), pts_t.dtype))
+    else:
+        s2 = fb_klt_track(pyr_p, pyr_c, pts_t, pts_t, stage2_mask,
+                          levels=s2_levels, **klt_args)
 
     ok1 = prior_ok & s1.status
     ok2 = stage2_mask & s2.status
-    kp_px = jnp.where(ok1[:, None], s1.xy, jnp.where(ok2[:, None], s2.xy,
-                                                     state.kp_px))
+    kp_px = jnp.where(ok1[:, None], s1.xy * sc,
+                      jnp.where(ok2[:, None], s2.xy * sc, state.kp_px))
     kp_valid = ok1 | ok2
     kp_und = cam.undistort(kp_px)
 
@@ -354,13 +395,30 @@ def track_phase(state: MapState, gray, cam: Camera, cfg: SlamConfig,
     state = state._replace(rng_key=key)
     F = jnp.asarray(False)
 
+    # ---- shared KLT, hoisted OUT of the phase switch.  Under vmap (the
+    # batched serving path) lax.switch lowers to run-all-branches-and-
+    # select, so a per-branch _track_keypoints would execute the ~most
+    # expensive kernel of the frame TWICE per stream per frame (init +
+    # tracking branches).  The tracking work is identical across phases —
+    # only the motion prior differs — so compute the prior with a select
+    # and track once.  On frame 0 no keypoint slot is valid, so tracking
+    # is a masked no-op there (its one-lifetime cost is irrelevant).
+    is_first = state.frame_id == 0
+    in_tracking = state.ready_for_init & ~is_first
+    prev_pose = state.pose
+    # constant-velocity prior: T_cw_prior = Exp(-vel·dt) ∘ T_cw
+    ext_pose = SE3.exp(-state.vel * dt).compose(state.pose)
+    pose_prior = jax.tree.map(
+        lambda a, b: jnp.where(in_tracking, a, b), ext_pose, state.pose)
+    state = _track_keypoints(state, pyr_cur, pose_prior, cam, cfg,
+                             allow_cond=not defer_heavy)
+
     def first_frame(st: MapState):
         st = st._replace(pose=SE3.identity(dtype=st.kp_px.dtype))
         return st, jnp.asarray(True), F, F
 
     def init_phase(st: MapState):
-        # pure 2D tracking (no 3D priors exist yet)
-        st = _track_keypoints(st, pyr_cur, st.pose, cam, cfg)
+        # pure 2D tracking happened in the shared pass (no 3D priors yet)
         n2d = jnp.sum(st.kp_valid)
         st = st._replace(
             reset_requested=st.reset_requested | (n2d < cfg.min_init_keypoints))
@@ -370,10 +428,6 @@ def track_phase(state: MapState, gray, cam: Camera, cfg: SlamConfig,
         return st, became_ready, F, F
 
     def tracking_phase(st: MapState):
-        # constant-velocity prior: T_cw_prior = Exp(-vel·dt) ∘ T_cw
-        pose_prior = SE3.exp(-st.vel * dt).compose(st.pose)
-        st = _track_keypoints(st, pyr_cur, pose_prior, cam, cfg)
-        prev_pose = st.pose
         st = st._replace(pose=pose_prior)
         st, success, do_p3p = _compute_pose(st, cam, cfg, k1,
                                             allow_p3p=not defer_heavy)
@@ -385,7 +439,7 @@ def track_phase(state: MapState, gray, cam: Camera, cfg: SlamConfig,
         p3p_need = (do_p3p & ~success) if defer_heavy else F
         return st, kf_req & success, p3p_need, F
 
-    branch = jnp.where(state.frame_id == 0, 0,
+    branch = jnp.where(is_first, 0,
                        jnp.where(~state.ready_for_init, 1, 2))
     state, kf_required, p3p_need, init_gate = jax.lax.switch(
         branch, [first_frame, init_phase, tracking_phase], state)
@@ -415,7 +469,7 @@ def recovery_phase(state: MapState, cam: Camera, cfg: SlamConfig
 def keyframe_phase(state: MapState, cam: Camera, cfg: SlamConfig) -> MapState:
     """The keyframe pipeline on the frame held in ``state.prev_pyr``
     (reference visual_frontend.cpp:27-33 → mapper)."""
-    return create_keyframe(state, state.prev_pyr[0], cam, cfg)
+    return create_keyframe(state, state.prev_pyr, cam, cfg)
 
 
 def finalize_phase(state: MapState, kf_created, cfg: SlamConfig,

@@ -442,7 +442,7 @@ class AlvaAR:
             cfg, cam = self.config, self.camera
 
             @jax.jit
-            def fn(gray, quality):
+            def fn(gray, dimg, quality):
                 from alvaar_tpu.ops.detect import detect_grid
                 from alvaar_tpu.ops.orb import describe
                 det = detect_grid(gray, jnp.zeros((1, 2), jnp.float32),
@@ -450,12 +450,19 @@ class AlvaAR:
                                   cell=cfg.cell_size,
                                   border=cfg.image_border,
                                   quality=quality)
-                desc, _ = describe(gray, det.xy, det.valid)
+                # descriptors at the tracking level — the scale the loop
+                # DB entries were described at (worldmap/keyframe.py
+                # describe_and_detect)
+                desc, _ = describe(dimg,
+                                   det.xy / float(2 ** cfg.track_base_level),
+                                   det.valid)
                 und = cam.undistort(det.xy)
                 return desc, cam.bearing(und), det.valid
 
             self._describe_frame_fn = fn
-        return fn(self.state.prev_pyr[0], self.state.detect_quality)
+        return fn(self.state.prev_pyr[0],
+                  self.state.prev_pyr[self.config.track_base_level],
+                  self.state.detect_quality)
 
     def _try_autorelocalize(self) -> bool:
         """On impending tracking loss (consecutive PnP failures), snap the

@@ -153,15 +153,25 @@ def _push_descriptor_bags(state: MapState, desc, ok_tracked,
     return lm_desc, bag, cnt_new
 
 
-def describe_and_detect(state: MapState, gray, cam: Camera,
+def describe_and_detect(state: MapState, pyr, cam: Camera,
                         cfg: SlamConfig) -> MapState:
     """ORB-describe the tracked keypoints, then fill empty grid cells with
     new detections → new 2D landmarks (reference map_manager.cpp:193-222
-    extractKeypoints: describe tracked, detect in free cells, add)."""
+    extractKeypoints: describe tracked, detect in free cells, add).
+
+    Detection runs at native resolution (level 0 — HD buys keypoint
+    precision); descriptors are sampled at the TRACKING level
+    (cfg.track_base_level) — descriptors are only ever matched against
+    descriptors the engine itself computed (reference map_point.cpp:204-
+    222), so any consistent scale works, and patch extraction cost scales
+    with image area (config.py track_base_level note)."""
     slot = state.cur_kf_slot
+    gray = pyr[0]
+    dimg = pyr[cfg.track_base_level]
+    dsc = float(2 ** cfg.track_base_level)
 
     # describe tracked keypoints; bag + medoid representative
-    desc, _ = describe(gray, state.kp_px, state.kp_valid)
+    desc, _ = describe(dimg, state.kp_px / dsc, state.kp_valid)
     ok_tracked = state.kp_valid & state.lm_valid[state.kp_lm]
     lm_desc_all, lm_bag, lm_cnt = _push_descriptor_bags(
         state, desc, ok_tracked, cfg)
@@ -172,7 +182,7 @@ def describe_and_detect(state: MapState, gray, cam: Camera,
                       cell=cfg.cell_size, border=cfg.image_border,
                       quality=state.detect_quality)
     state = state._replace(detect_quality=det.new_quality)
-    new_desc, _ = describe(gray, det.xy, det.valid)
+    new_desc, _ = describe(dimg, det.xy / dsc, det.valid)
 
     # allocate keypoint slots and landmark slots for each accepted detection
     kp_slot, kp_ok = allocate_slots(state.kp_valid, det.valid)
@@ -468,12 +478,14 @@ def filter_redundant_keyframes(state: MapState, cfg: SlamConfig) -> MapState:
                           lm_obs=lm_obs, lm_valid=lm_valid)
 
 
-def create_keyframe(state: MapState, gray, cam: Camera,
+def create_keyframe(state: MapState, pyr, cam: Camera,
                     cfg: SlamConfig) -> MapState:
     """Full keyframe pipeline (reference visual_frontend.cpp:27-33 →
-    map_manager createKeyframe → mapper processNewKeyframe)."""
+    map_manager createKeyframe → mapper processNewKeyframe).
+
+    ``pyr``: the keyframe image pyramid (level 0 first)."""
     state = evict_and_write_keyframe(state, cfg)
-    state = describe_and_detect(state, gray, cam, cfg)
+    state = describe_and_detect(state, pyr, cam, cfg)
 
     is_later_kf = state.next_kf_id > 1  # next_kf_id already incremented
     state = jax.lax.cond(

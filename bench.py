@@ -88,7 +88,8 @@ def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
     if par is not None:
         aux("ate_vs_reference_synthetic", par["ate_pct"], "%",
             ref_noise_pct=round(par["ref_noise_pct"], 3),
-            overlap=par["overlap"])
+            median_pairwise=round(par["ref_noise_median_pct"], 3),
+            overlap=par["overlap"], passed=par["parity_pass"])
     return N / wall, ate, len(idx)
 
 
@@ -207,14 +208,24 @@ def bench_1080p_streams(jax, jnp, B=8, N=12):
 
 def ate_vs_reference_video(poses, statuses):
     """% parity vs the recorded reference runs on video.mp4 (None when
-    tests/golden/ref_video.npz is absent)."""
+    tests/golden/ref_video.npz is absent).
+
+    Pass criterion (stated, per VERDICT r3 #3): the reference is
+    nondeterministic (std::random_device RANSAC, system.cpp:210), so
+    parity = our ATE-to-closest-run <= max(1%, the reference's own
+    MEDIAN pairwise run-to-run spread) — i.e. we look like one more
+    reference run.  RPE is reported alongside to separate local accuracy
+    from accumulated-drift disagreement."""
     from alvaar_tpu.utils.parity import ate_vs_reference
     par = ate_vs_reference(statuses, poses, "ref_video.npz")
     if par is None:
         return None
     aux("ate_vs_reference_video_noise_floor", par["ref_noise_pct"], "%",
-        overlap=par["overlap"])
-    return par["ate_pct"]
+        median_pairwise=round(par["ref_noise_median_pct"], 3),
+        n_ref_runs=par["n_ref_runs"], overlap=par["overlap"])
+    aux("rpe_vs_reference_video_rot", par["rpe_rot_deg"], "deg/frame",
+        trans=round(par["rpe_trans"], 5))
+    return par
 
 
 def bench_real_video(jax, jnp, n_frames=300):
@@ -548,10 +559,11 @@ def main():
             aux("real_video_fps", fps_v, "frames/sec",
                 tracked=f"{tracked_v}/{total_v}")
             aux("real_video_async_fps", fps_async, "frames/sec")
-            ate_ref = ate_vs_reference_video(rv_poses, rv_st)
-            if ate_ref is not None:
-                aux("ate_vs_reference_video", ate_ref, "%",
-                    target="<= reference run-to-run noise floor")
+            par = ate_vs_reference_video(rv_poses, rv_st)
+            if par is not None:
+                aux("ate_vs_reference_video", par["ate_pct"], "%",
+                    criterion="<= max(1%, median pairwise ref spread)",
+                    passed=par["parity_pass"])
 
     def stage_plane():
         ms, ok = bench_plane_720p(jax, jnp)

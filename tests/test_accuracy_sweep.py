@@ -1,8 +1,10 @@
-"""Multi-seed accuracy regression: the worst and median ATE over several
+"""Multi-seed accuracy regression: the worst and median ATE over ALL ten
 golden-trajectory seeds must stay bounded (VERDICT round-1 'accuracy
-tail' item).  Uses the deep-scene-tuned keyframe cadence
-(kf_parallax_px) and wide-baseline depth refinement; the remaining known
-tail is planar-degenerate bootstraps (docs/ROADMAP.md)."""
+tail' item; round-3 review asked for the full 0-9 sweep INCLUDING the
+historically worst seed 7, whose 31-degree-skewed bootstrap was fixed in
+round 2 by freeing the second-oldest pose while only two keyframes
+live + homography model selection).  Uses the deep-scene-tuned keyframe
+cadence (kf_parallax_px) and wide-baseline depth refinement."""
 
 import numpy as np
 import pytest
@@ -14,7 +16,7 @@ CFG = SlamConfig(width=320, height=240, cell_size=24, window_size=10,
                  max_landmarks=512, ransac_iters=50, ba_iters=4,
                  init_parallax_px=25.0, kf_parallax_px=12.0)
 
-SEEDS = (0, 2, 3, 4, 9)
+SEEDS = tuple(range(10))
 
 
 def run_seed(seed):
@@ -37,8 +39,9 @@ def run_seed(seed):
 
 def test_multi_seed_accuracy():
     rel = sorted(run_seed(s) for s in SEEDS)
-    median = rel[len(rel) // 2]
+    median = 0.5 * (rel[4] + rel[5])
     worst = rel[-1]
-    # measured (round 2): per-seed ~0.6-3.3%; bars leave regression margin
-    assert median <= 0.02, f"median relative ATE {median:.3%}"
-    assert worst <= 0.05, f"worst relative ATE {worst:.3%}"
+    # measured (round 4, all 10 seeds): 0.68-1.63%, median 1.10%,
+    # seed 7 = 0.93%; bars leave modest regression margin
+    assert median <= 0.015, f"median relative ATE {median:.3%}"
+    assert worst <= 0.025, f"worst relative ATE {worst:.3%}"
