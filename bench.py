@@ -49,6 +49,42 @@ def aux(metric, value, unit, **kw):
                              "unit": unit, **kw}))
 
 
+def render_frames_cached(seed, width, height, fov, tex_scale, gt):
+    """Render (or load) the synthetic golden sequence.
+
+    Pure-numpy rendering of M frames costs minutes on a 1-vCPU bench
+    host — real budget the driver's timeout cannot spare — so rendered
+    sequences are cached under ~/.cache keyed by every scene parameter
+    PLUS the renderer source hash (a render_scene.py change invalidates
+    stale frames instead of silently reusing them)."""
+    import hashlib
+    import os
+    sys.path.insert(0, "tests")
+    import render_scene
+    from render_scene import TwoPlaneScene
+
+    src = hashlib.md5(open(render_scene.__file__, "rb").read()).hexdigest()
+    key = (f"{src[:10]}_{seed}_{width}x{height}_{fov}_{tex_scale}_"
+           f"{len(gt)}_{gt[-1, 0, 3]:.6f}")
+    path = os.path.expanduser(
+        "~/.cache/alvaar_frames_"
+        + hashlib.md5(key.encode()).hexdigest()[:12] + ".npy")
+    if os.path.exists(path):
+        return np.load(path)
+    scene = TwoPlaneScene(np.random.default_rng(seed), width=width,
+                          height=height, fov=fov, tex_scale=tex_scale)
+    # f32: every consumer casts to float32 at device_put, and the renderer's
+    # f64 intermediates double the cache size/load time for nothing
+    frames = np.stack([scene.render(gt[i]).astype(np.float32)
+                       for i in range(len(gt))])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, frames)
+    os.replace(tmp, path)
+    return frames
+
+
 def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
     from alvaar_tpu.frontend.step import slam_step
     from alvaar_tpu.worldmap.state import init_map_state
@@ -176,7 +212,7 @@ def bench_1080p_streams(jax, jnp, B=8, N=12):
     collectives).  Uses the hd_serving preset: the keypoint budget stays
     at the 480p level (the whole point of the preset — see config.py)."""
     sys.path.insert(0, "tests")
-    from render_scene import TwoPlaneScene, trajectory
+    from render_scene import trajectory
 
     from alvaar_tpu.config import hd_serving
     from alvaar_tpu.geom.camera import Camera
@@ -185,12 +221,9 @@ def bench_1080p_streams(jax, jnp, B=8, N=12):
 
     cfg = hd_serving()
     cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
-    rng = np.random.default_rng(7)
-    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height,
-                          fov=60.0, tex_scale=120.0)
     M = N + 3 * (B - 1)
     gt = trajectory(M, step=0.04)
-    frames = np.stack([scene.render(gt[i]) for i in range(M)])
+    frames = render_frames_cached(7, cfg.width, cfg.height, 60.0, 120.0, gt)
     seq = np.stack([frames[3 * b:3 * b + N] for b in range(B)], axis=1)
     frames_dev = jax.device_put(jnp.asarray(seq, jnp.float32))
     dts = jnp.ones((N, B), jnp.float32)
@@ -468,7 +501,7 @@ def main():
         f"({cache_dir})")
 
     sys.path.insert(0, "tests")
-    from render_scene import TwoPlaneScene, trajectory
+    from render_scene import trajectory
 
     from alvaar_tpu import SlamConfig
     from alvaar_tpu.geom.camera import Camera
@@ -477,13 +510,11 @@ def main():
     cam = Camera.from_fov(cfg.width, cfg.height, 60.0)
     log(f"devices: {jax.devices()}")
 
-    rng = np.random.default_rng(42)
-    scene = TwoPlaneScene(rng, width=cfg.width, height=cfg.height, fov=60.0,
-                          tex_scale=120.0)
     M = args.frames + 3 * (args.streams - 1)
     gt = trajectory(M, step=0.04)
-    log(f"rendering {M} frames at {cfg.width}x{cfg.height}...")
-    frames_np = np.stack([scene.render(gt[i]) for i in range(M)])
+    log(f"rendering {M} frames at {cfg.width}x{cfg.height} (cached)...")
+    frames_np = render_frames_cached(42, cfg.width, cfg.height, 60.0,
+                                     120.0, gt)
 
     # ---- headline: multi-stream aggregate ----
     agg_fps, ms_ate, ms_tracked, N, frames_dev, dts, states0 = \

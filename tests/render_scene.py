@@ -82,17 +82,25 @@ class TwoPlaneScene:
 
 def trajectory(n_frames, step=0.02, rot_step=0.002):
     """Sideways-dominant trajectory (good parallax for mono init).
-    Returns [n, 4, 4] T_wc poses."""
-    poses = []
-    for i in range(n_frames):
-        phi = np.array([0.0, rot_step * i, 0.0], np.float32)
-        q = so3_exp(jnp.asarray(phi))
-        c = np.array([step * i, 0.3 * step * i, 0.05 * step * i], np.float32)
-        T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(SE3(q, jnp.zeros(3)).matrix())[:3, :3]
-        T[:3, 3] = c
-        poses.append(T)
-    return np.stack(poses)
+    Returns [n, 4, 4] T_wc poses.
+
+    Vectorized: ONE batched so3_exp/matrix device call instead of
+    n_frames round-trips (each dispatch through the axon TPU tunnel
+    costs ~0.5 s, which made this loop minutes of bench budget).
+    Per-frame values are bit-identical to the loop form: so3_exp and
+    quat_to_matrix are elementwise over the batch, and the float64
+    intermediates below reproduce np.array([...], np.float32) casts."""
+    i = np.arange(n_frames, dtype=np.float64)
+    z = np.zeros(n_frames, np.float64)
+    phis = np.stack([z, rot_step * i, z], axis=-1).astype(np.float32)
+    q = so3_exp(jnp.asarray(phis))                            # [n, 4]
+    R = np.asarray(SE3(q, jnp.zeros((n_frames, 3), np.float32)).matrix())
+    T = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    T[:, :3, :3] = R[:, :3, :3]
+    T[:, :3, 3] = np.stack(
+        [step * i, 0.3 * step * i, 0.05 * step * i], axis=-1
+    ).astype(np.float32)
+    return T
 
 
 def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray) -> float:
