@@ -406,9 +406,13 @@ def bench_loop_closure(jax, jnp, capacity=256, kps=192):
             walls.append(time.time() - t0)
         return min(walls)
 
+    # long chain: per-query latency is ~26 us, far below the tunnel's
+    # per-dispatch jitter — difference 1 vs 65 chained rounds so the
+    # signal (64 queries) dominates the jitter (a 9-round chain measured
+    # negative on noisy runs)
     t1 = best(chain(1))
-    t9 = best(chain(9))
-    return (t9 - t1) / 8 * 1e3, bool(res.found)
+    t65 = best(chain(65))
+    return max(t65 - t1, 0.0) / 64 * 1e3, bool(res.found)
 
 
 def bench_ba_10k(jax, jnp):
