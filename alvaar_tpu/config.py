@@ -105,12 +105,15 @@ class SlamConfig:
 
     # ---- solver budgets ---------------------------------------------------
     # Motion-only PnP LM iterations.  The reference caps at 5
-    # (mvg.cpp:184) but its LM converges in 2-3 on tracked frames; 3 is
-    # +4% single-stream fps with NO accuracy change anywhere measured
-    # (10-seed sweep median 1.09%/worst 1.63% vs 1.10%/1.63% at 5;
-    # video.mp4 ATE-vs-reference 11.4% vs 12.0% at 5, same 294/300
-    # tracked).  Set 5 for exact reference-budget parity.
-    pnp_iters: int = 3
+    # (mvg.cpp:184).  Measured on v5e within one process: 4 iters is
+    # +4% single-stream and +1% serving fps over 5 with IDENTICAL
+    # accuracy everywhere (multistream B=16 median ATE 1.806 vs
+    # 1.807 cm, single 0.760 vs 0.759 cm, same tracked counts); 3 iters
+    # is faster still (+6%) but degrades the multistream median ATE
+    # 1.81 -> 2.22 cm (recovery P3P re-convergence needs the 4th
+    # iteration under the batched serving scheduler).  Set 5 for exact
+    # reference-budget parity.
+    pnp_iters: int = 4
     ba_iters: int = 5            # local BA LM iterations (optimizer.cpp:256)
     huber_thresh: float = math.sqrt(5.9915)  # chi2 95% 2-dof (mvg.cpp:160)
     ba_min_covisibility: int = 25            # constant-pose gate (optimizer.cpp:94)
