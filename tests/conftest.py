@@ -33,9 +33,9 @@ import pytest  # noqa: E402
 
 # Modules whose tests compile + run full end-to-end pipelines (minutes each on
 # the single-core CPU host). They form the "slow" tier; CI / inner-loop runs
-# use `pytest -m "not slow"` (~3 min with a warm compile cache; ~9-10
-# min when a config-default change invalidates the cached step
-# programs), the full tier runs everything.
+# use `pytest -m "not slow"` (~6 min with a warm compile cache on this
+# single-core host; ~9-10 min when a config-default change invalidates
+# the cached step programs), the full tier runs everything.
 _SLOW_MODULES = {
     "test_e2e",
     "test_loop_e2e",
