@@ -8,10 +8,11 @@ sub-batch; parallel/multistream.py), frames pre-staged in HBM and the
 whole serving loop under one ``lax.scan``.  vs_baseline = fps / 500
 (the driver target: ≥500 frames/sec/chip).
 
-The headline JSON prints IMMEDIATELY after the multi-stream bench and is
-the ONLY bare-JSON line on any stream — auxiliary metrics are prefixed
-``aux `` so a driver that parses "the last JSON line" always finds the
-headline even if a later stage is killed.  A wall-clock budget
+The headline JSON prints TWICE — immediately after the multi-stream
+bench (kill insurance) and again as the very LAST stdout line (the
+driver parses the last JSON line in the output tail).  Both lines are
+identical and they are the only bare-JSON lines on any stream —
+auxiliary metrics are prefixed ``aux ``.  A wall-clock budget
 (``--budget`` / $ALVAAR_BENCH_BUDGET, default 1500 s) guards the aux
 stages: each is skipped when its worst-case cold-compile estimate no
 longer fits, so the process exits 0 inside the driver timeout.
@@ -64,8 +65,9 @@ def render_frames_cached(seed, width, height, fov, tex_scale, gt):
     from render_scene import TwoPlaneScene
 
     src = hashlib.md5(open(render_scene.__file__, "rb").read()).hexdigest()
+    gt_hash = hashlib.md5(np.ascontiguousarray(gt).tobytes()).hexdigest()
     key = (f"{src[:10]}_{seed}_{width}x{height}_{fov}_{tex_scale}_"
-           f"{len(gt)}_{gt[-1, 0, 3]:.6f}")
+           f"{gt_hash[:12]}")
     path = os.path.expanduser(
         "~/.cache/alvaar_frames_"
         + hashlib.md5(key.encode()).hexdigest()[:12] + ".npy")
@@ -412,7 +414,13 @@ def bench_loop_closure(jax, jnp, capacity=256, kps=192):
     # negative on noisy runs)
     t1 = best(chain(1))
     t65 = best(chain(65))
-    return max(t65 - t1, 0.0) / 64 * 1e3, bool(res.found)
+    if t65 < t1:
+        # an inverted differential measurement means the run was noise-
+        # dominated; report NaN rather than masking it as 0 latency
+        log(f"WARN loop-query timing inverted (t1={t1 * 1e3:.2f}ms "
+            f"t65={t65 * 1e3:.2f}ms); reporting NaN")
+        return float("nan"), bool(res.found)
+    return (t65 - t1) / 64 * 1e3, bool(res.found)
 
 
 def bench_ba_10k(jax, jnp):
@@ -524,14 +532,18 @@ def main():
     agg_fps, ms_ate, ms_tracked, N, frames_dev, dts, states0 = \
         bench_multistream(
             jax, jnp, cfg, cam, frames_np, gt, args.streams, args.kf_slots)
-    # the ONE bare-JSON line — printed the moment it exists, so the
-    # round's headline is recorded even if a later aux stage is killed
-    print(json.dumps({
+    # The headline bare-JSON line prints TWICE: immediately (so a killed
+    # later stage can't lose the round's number) AND as the very last
+    # stdout line (the driver parses the LAST JSON line in the output
+    # tail — r01-r03 records prove it; r04's early-only print yielded
+    # parsed=null).  Both lines are identical, so either parse is right.
+    headline = json.dumps({
         "metric": "multistream_fps_per_chip_640x480",
         "value": round(agg_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(agg_fps / 500.0, 4),
-    }), flush=True)
+    })
+    print(headline, flush=True)
     aux("multistream_ate_median", ms_ate * 100, "cm",
         tracked=f"{ms_tracked}/{N}", streams=args.streams)
     log(f"multi-stream: {agg_fps:.1f} frames/sec/chip aggregate "
@@ -631,6 +643,8 @@ def main():
 
     log(f"bench total wall: {time.time() - t_start:.1f}s "
         f"(budget {args.budget:.0f}s)")
+    # re-print the headline as the FINAL stdout line (see comment above)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":
