@@ -111,6 +111,20 @@ class PendingResult:
         valid = np.asarray(self._points_valid)
         return pts[valid].astype(np.int32)
 
+    @staticmethod
+    def drain(results) -> None:
+        """Synchronize MANY pending results with one batched device
+        read.  Per-result ``np.asarray`` costs a full host<->device
+        round-trip each (milliseconds on a tunneled device); a frame
+        loop that reads its results late should drain them in batches.
+        """
+        pending = [r for r in results if r._np is None]
+        if not pending:
+            return
+        host = jax.device_get([r._packed for r in pending])
+        for r, h in zip(pending, host):
+            r._np = np.asarray(h)
+
 
 class AlvaAR:
     """Monocular visual SLAM with the AlvaAR API, TPU-native inside."""
@@ -203,7 +217,12 @@ class AlvaAR:
     def _dispatch(self, frame, timestamp) -> PendingResult:
         frame_np = np.asarray(frame)
         step = self._get_step(frame_np)
-        dt = jnp.float32(self._dt(timestamp))
+        # dt as a plain Python float: a traced weak-f32 scalar argument.
+        # jnp.float32(dt) here would be a separate tiny device_put per
+        # frame — on a tunneled device every transfer costs ~2-5 ms of
+        # latency regardless of size, so the per-frame budget allows
+        # exactly ONE host->device transfer: the frame itself.
+        dt = float(self._dt(timestamp))
         self.state, packed, pts, ptsv = step(
             self.state, jnp.asarray(frame_np), dt)
         res = PendingResult(packed, pts, ptsv)
@@ -283,43 +302,38 @@ class AlvaAR:
             dts = np.concatenate([[1.0], np.diff(ts)]).astype(np.float32)
             dts[dts <= 0] = 1.0
             self._last_ts = float(ts[-1])
+        # Pad N up to a chunk multiple so ONE compiled scan shape covers
+        # any sequence length: pad steps carry valid=False and pass the
+        # state through untouched under a lax.cond, costing ~nothing at
+        # runtime.  (The previous tail strategy — per-frame step
+        # dispatches — cost a host->device round-trip per tail frame
+        # through the TPU tunnel, which on a 300-frame/chunk-64 workload
+        # [44-frame tail] halved the measured throughput.)
+        pad = (-n) % chunk
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)])
+            dts = np.concatenate([dts, np.ones(pad, np.float32)])
+        valid = np.ones(n + pad, bool)
+        valid[n:] = False
         statuses, poses = [], []
-        tail = n % chunk
-        for lo in range(0, n - tail, chunk):
+        for lo in range(0, n + pad, chunk):
             fr = frames[lo:lo + chunk]
             scan = self._get_scan(fr)
             self.state, (st, po) = scan(self.state, jnp.asarray(fr),
-                                        jnp.asarray(dts[lo:lo + chunk]))
+                                        jnp.asarray(dts[lo:lo + chunk]),
+                                        jnp.asarray(valid[lo:lo + chunk]))
             statuses.append(st)
             poses.append(po)
-        # the final partial chunk: reuse an already-compiled scan of the
-        # exact tail shape when one exists (short clips repeat shapes),
-        # else run per-frame steps — a NEW scan shape would recompile the
-        # whole pipeline (~minutes on this host) to save at most chunk-1
-        # dispatches
-        tail_key = (((tail,) + frames.shape[1:]), str(frames.dtype))
-        if tail and tail_key in self._scan_cache:
-            fr = frames[n - tail:]
-            scan = self._scan_cache[tail_key]
-            self.state, (st, po) = scan(self.state, jnp.asarray(fr),
-                                        jnp.asarray(dts[n - tail:]))
-            statuses.append(st)
-            poses.append(po)
-            tail = 0
-        for i in range(n - tail, n):
-            step = self._get_step(frames[i])
-            self.state, packed, _, _ = step(self.state,
-                                            jnp.asarray(frames[i]),
-                                            jnp.float32(dts[i]))
-            statuses.append(packed[0].astype(jnp.int32)[None])
-            poses.append(packed[1:17].reshape(1, 4, 4))
         self._last_out = None
-        statuses = np.concatenate([np.asarray(s) for s in statuses])
-        poses = np.concatenate([np.asarray(p) for p in poses])
+        statuses = np.concatenate([np.asarray(s) for s in statuses])[:n]
+        poses = np.concatenate([np.asarray(p) for p in poses])[:n]
         return statuses, poses
 
     def _get_scan(self, frames_np):
-        """Jitted chunk scan keyed by chunk layout (donated state)."""
+        """Jitted chunk scan keyed by chunk layout (donated state).
+        Each step is gated on a per-frame valid flag so padded tails
+        pass the state through unchanged (see process_frames)."""
         key = (frames_np.shape, str(frames_np.dtype))
         fn = self._scan_cache.get(key)
         if fn is None:
@@ -327,16 +341,24 @@ class AlvaAR:
             ndim = len(frames_np.shape) - 1
 
             def body(state, inp):
-                frame, dt = inp
-                if ndim == 3:
-                    gray = rgba_to_gray(frame)
-                else:
-                    gray = frame.astype(jnp.float32)
-                state, out = slam_step(state, gray, cam, cfg, dt)
-                return state, (out.status, out.pose_wc)
+                frame, dt, ok = inp
 
-            def run(state, frames, dts):
-                return jax.lax.scan(body, state, (frames, dts))
+                def run_step(state):
+                    if ndim == 3:
+                        gray = rgba_to_gray(frame)
+                    else:
+                        gray = frame.astype(jnp.float32)
+                    state, out = slam_step(state, gray, cam, cfg, dt)
+                    return state, (out.status, out.pose_wc)
+
+                def skip(state):
+                    return state, (jnp.zeros((), jnp.int32),
+                                   jnp.zeros((4, 4), jnp.float32))
+
+                return jax.lax.cond(ok, run_step, skip, state)
+
+            def run(state, frames, dts, valid):
+                return jax.lax.scan(body, state, (frames, dts, valid))
 
             fn = jax.jit(run, donate_argnums=(0,))
             self._scan_cache[key] = fn

@@ -295,29 +295,39 @@ def bench_real_video(jax, jnp, n_frames=300):
         tss.append(ts)
     frames = np.stack(frames)
 
-    # ---- throughput path: process_frames (warm BOTH programs on a
-    # prefix first: the chunk scan and the per-frame tail step)
+    # ---- throughput path: process_frames (warm the chunk scan — one
+    # program covers any length now that tails are padded+masked).  Two
+    # measured reps, best-of: the first pass after a compile still pays
+    # executable warm-up through the tunnel (observed 3-60x on rep 0).
     chunk = 64
-    alva.process_frames(frames[:chunk + 1], timestamps=tss[:chunk + 1],
+    alva.process_frames(frames[:chunk], timestamps=tss[:chunk],
                         chunk=chunk)
-    alva.reset()
-    t0 = time.time()
-    statuses, poses = alva.process_frames(frames, timestamps=tss,
-                                          chunk=chunk)
-    wall = time.time() - t0
-    fps_stream = len(frames) / wall
+    walls = []
+    for _ in range(2):
+        alva.reset()
+        t0 = time.time()
+        statuses, poses = alva.process_frames(frames, timestamps=tss,
+                                              chunk=chunk)
+        walls.append(time.time() - t0)
+    fps_stream = len(frames) / min(walls)
     tracked = int((statuses == 1).sum())
 
-    # ---- interactive path: per-frame async dispatch, lazy readback
+    # ---- interactive path: per-frame async dispatch; results drained
+    # with ONE batched device read inside the timed region (the
+    # per-result np.asarray alternative costs a tunnel round-trip each)
+    from alvaar_tpu.system import PendingResult
     alva.reset()
     alva.find_camera_pose_async(frames[0], timestamp=tss[0])  # warm cache
-    alva.reset()
-    t0 = time.time()
-    results = [alva.find_camera_pose_async(frames[i], timestamp=tss[i])
-               for i in range(len(frames))]
+    walls = []
+    for _ in range(2):
+        alva.reset()
+        t0 = time.time()
+        results = [alva.find_camera_pose_async(frames[i], timestamp=tss[i])
+                   for i in range(len(frames))]
+        PendingResult.drain(results)
+        walls.append(time.time() - t0)
     tracked_async = sum(r.status == 1 for r in results)
-    wall = time.time() - t0
-    fps_async = len(frames) / wall
+    fps_async = len(frames) / min(walls)
     assert tracked_async == tracked or abs(tracked_async - tracked) < 10
     return fps_stream, fps_async, tracked, len(frames), poses, statuses
 
