@@ -351,18 +351,49 @@ def bench_plane_720p(jax, jnp):
     valid = jnp.ones(n, bool)
     cam_c = jnp.zeros(3, jnp.float32)
 
-    fn = jax.jit(lambda k, p, v, c: find_plane_ransac(
-        k, p, v, c, iters=250, min_points=32, max_tilt_deg=5.0,
-        inlier_scale=1.4))
     key = jax.random.PRNGKey(0)
     pts_d = jnp.asarray(pts)
-    res = jax.block_until_ready(fn(key, pts_d, valid, cam_c))
-    walls = []
-    for _ in range(5):
-        t0 = time.time()
-        res = jax.block_until_ready(fn(key, pts_d, valid, cam_c))
-        walls.append(time.time() - t0)
-    return min(walls) * 1e3, bool(res.success)
+
+    # device-resident latency: production calls findPlane against the
+    # device-resident map (system.py find_plane), so the budget compares
+    # device time — a single dispatch through the TPU tunnel is
+    # dominated by ~20-40 ms of enqueue->sync latency.  Chain N solves
+    # (distinct PRNG keys so no CSE) in one program and difference.
+    def chain(n):
+        @jax.jit
+        def f(k, p, v, c):
+            def body(carry, i):
+                r = find_plane_ransac(jax.random.fold_in(k, i), p, v, c,
+                                      iters=250, min_points=32,
+                                      max_tilt_deg=5.0, inlier_scale=1.4)
+                return carry, r.success
+            _, succ = jax.lax.scan(body, 0, jnp.arange(n))
+            return succ
+        return f
+
+    def best(fn, reps=5):
+        # sync by host readback, NOT block_until_ready: on the axon
+        # platform block_until_ready returns early for small programs
+        # (observed: a 1025-solve chain "synced" in 0.03 ms while the
+        # actual execution took 300 ms), so only a forced D2H read
+        # bounds the wall.  The ~40 ms readback constant cancels in the
+        # chain difference below.
+        out = np.asarray(fn(key, pts_d, valid, cam_c))
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = np.asarray(fn(key, pts_d, valid, cam_c))
+            walls.append(time.time() - t0)
+        return min(walls), out
+
+    t1, succ1 = best(chain(1))
+    t129, succ129 = best(chain(129))
+    ok = bool(succ129.all())
+    if t129 < t1:
+        log(f"WARN plane timing inverted (t1={t1 * 1e3:.2f}ms "
+            f"t129={t129 * 1e3:.2f}ms); reporting single-dispatch")
+        return t1 * 1e3, t1 * 1e3, ok
+    return (t129 - t1) / 128 * 1e3, t1 * 1e3, ok
 
 
 def bench_loop_closure(jax, jnp, capacity=256, kps=192):
@@ -410,11 +441,15 @@ def bench_loop_closure(jax, jnp, capacity=256, kps=192):
         return f
 
     def best(fn, reps=5):
-        jax.block_until_ready(fn(db))
+        # np.asarray sync, not block_until_ready — see bench_plane_720p:
+        # axon's block_until_ready returns early on small programs, and
+        # this chain's output ([n] bool) is tiny.  The readback constant
+        # cancels in the chain difference.
+        np.asarray(fn(db))
         walls = []
         for _ in range(reps):
             t0 = time.time()
-            jax.block_until_ready(fn(db))
+            out = np.asarray(fn(db))
             walls.append(time.time() - t0)
         return min(walls)
 
@@ -475,11 +510,14 @@ def bench_ba_10k(jax, jnp):
         return f
 
     def best(fn, reps=5):
-        jax.block_until_ready(fn(prob))
+        # np.asarray sync — axon's block_until_ready returns early on
+        # small programs and this chain outputs one scalar cost; the
+        # readback constant cancels in the chain difference.
+        np.asarray(fn(prob))
         walls = []
         for _ in range(reps):
             t0 = time.time()
-            jax.block_until_ready(fn(prob))
+            out = np.asarray(fn(prob))
             walls.append(time.time() - t0)
         return min(walls)
 
@@ -623,8 +661,9 @@ def main():
                     passed=par["parity_pass"])
 
     def stage_plane():
-        ms, ok = bench_plane_720p(jax, jnp)
-        aux("findplane_720p_latency", ms, "ms", iters=250, success=ok)
+        ms, ms_dispatch, ok = bench_plane_720p(jax, jnp)
+        aux("findplane_720p_latency", ms, "ms", iters=250, success=ok,
+            single_dispatch_ms=round(ms_dispatch, 2))
 
     def stage_loopq():
         ms, found = bench_loop_closure(jax, jnp)
