@@ -69,6 +69,39 @@ def _robust_weights(r2, huber_delta):
     return jnp.where(rn <= huber_delta, 1.0, huber_delta / rn)
 
 
+def _chol_solve6(H, g):
+    """x = H⁻¹ g for SPD [..., 6, 6] H via fully unrolled Cholesky.
+
+    ``jnp.linalg.solve`` lowers to pivoted LU (while_loops + dynamic
+    slices) — ~50-100 µs per call on TPU for a 6x6, which dominated the
+    PnP iteration.  The damped normal matrix is SPD by construction, so
+    an unrolled Cholesky (static scalar indexing, ~100 fused VPU ops,
+    vmap-safe) solves it in nanoseconds."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _lm_solve(pose0: SE3, cam: Camera, points_w, px_obs, weights_fixed, *,
               iters: int, huber_delta: float):
     """Fixed-length branch-free LM; weights_fixed [N] masks invalid points.
@@ -104,14 +137,14 @@ def _lm_solve(pose0: SE3, cam: Camera, points_w, px_obs, weights_fixed, *,
         cost_best = sel(cost_t, cost_best)
         lam = jnp.where(accept, lam * 0.33, lam * 10.0).clip(1e-8, 1e6)
         H_lm = H_b + lam * jnp.diag(jnp.diagonal(H_b)).clip(1e-8)
-        delta = -jnp.linalg.solve(
+        delta = -_chol_solve6(
             H_lm + 1e-9 * jnp.eye(6, dtype=H_b.dtype), g_b)
         pose_trial = pose_best.retract(delta)
         return (pose_best, H_b, g_b, cost_best, pose_trial, lam), None
 
     H0, g0, cost0 = linearize(pose0)
     lam0 = jnp.asarray(1e-3, points_w.dtype)
-    delta0 = -jnp.linalg.solve(
+    delta0 = -_chol_solve6(
         H0 + lam0 * jnp.diag(jnp.diagonal(H0)).clip(1e-8)
         + 1e-9 * jnp.eye(6, dtype=H0.dtype), g0)
     carry = (pose0, H0, g0, cost0, pose0.retract(delta0), lam0)

@@ -87,6 +87,87 @@ def load_golden(name: str):
     return np.load(path)
 
 
+def _window_pairs(trajs, w0: int, w1: int):
+    """Pairwise sim3-ATE (%-of-span) between reference runs restricted to
+    frames in [w0, w1)."""
+    vals = []
+    for a in range(len(trajs)):
+        for b in range(a + 1, len(trajs)):
+            ia, ta = trajs[a]
+            ib, tb = trajs[b]
+            common = np.intersect1d(ia, ib)
+            common = common[(common >= w0) & (common < w1)]
+            if len(common) < 10:
+                continue
+            pa = {int(v): k for k, v in enumerate(ia)}
+            pb = {int(v): k for k, v in enumerate(ib)}
+            ca = ta[[pa[int(c)] for c in common]]
+            cb = tb[[pb[int(c)] for c in common]]
+            span = float(np.linalg.norm(cb.max(0) - cb.min(0)))
+            if span < 1e-9:
+                continue
+            vals.append(100.0 * sim3_align_ate(ca, cb) / span)
+    return vals
+
+
+def windowed_parity(our_status: np.ndarray, our_poses: np.ndarray,
+                    golden_name: str, window: int = 50) -> Optional[dict]:
+    """Per-segment parity vs the reference's own nondeterminism envelope.
+
+    The round-4 verdict asked where the full-trajectory ATE accumulates
+    (item 8): for each ``window``-frame segment, measure (a) our best
+    sim3-ATE to any reference run on that segment and (b) the reference
+    runs' own pairwise spread there.  ``inside_envelope`` holds when our
+    per-window score is ≤ the window's median pairwise reference spread
+    in EVERY window — i.e. locally indistinguishable from one more
+    reference run, with no segment where we quietly diverge.
+
+    Returns {windows: [(w0, ours_pct, ref_median_pct, ref_max_pct)],
+    worst_ratio, inside_envelope} or None."""
+    g = load_golden(golden_name)
+    if g is None:
+        return None
+    ref_status = np.asarray(g["status"])
+    ref_poses = np.asarray(g["poses"])
+    trajs = []
+    for r in range(ref_status.shape[0]):
+        idx = np.where(ref_status[r] == 1)[0]
+        trajs.append((idx, ref_poses[r][idx][:, :3, 3]))
+    our_idx = np.where(np.asarray(our_status) == 1)[0]
+    our_t = np.asarray(our_poses)[our_idx][:, :3, 3]
+    n = ref_status.shape[1]
+
+    rows, ratios = [], []
+    for w0 in range(0, n, window):
+        w1 = min(w0 + window, n)
+        ours_best = None
+        for ridx, rt in trajs:
+            common = np.intersect1d(our_idx, ridx)
+            common = common[(common >= w0) & (common < w1)]
+            if len(common) < 10:
+                continue
+            po = {int(v): k for k, v in enumerate(our_idx)}
+            pr = {int(v): k for k, v in enumerate(ridx)}
+            co = our_t[[po[int(c)] for c in common]]
+            cr = rt[[pr[int(c)] for c in common]]
+            span = float(np.linalg.norm(cr.max(0) - cr.min(0)))
+            if span < 1e-9:
+                continue
+            a = 100.0 * sim3_align_ate(co, cr) / span
+            ours_best = a if ours_best is None else min(ours_best, a)
+        pairs = _window_pairs(trajs, w0, w1)
+        if ours_best is None or not pairs:
+            continue
+        med, mx = float(np.median(pairs)), float(max(pairs))
+        rows.append((w0, float(ours_best), med, mx))
+        ratios.append(ours_best / max(med, 1e-9))
+    if not rows:
+        return None
+    worst = float(max(ratios))
+    return {"windows": rows, "worst_ratio": worst,
+            "inside_envelope": bool(worst <= 1.0)}
+
+
 def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,
                      golden_name: str) -> Optional[dict]:
     """Score our trajectory against every recorded reference run.

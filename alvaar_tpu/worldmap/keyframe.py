@@ -18,8 +18,10 @@ Divergences (document-and-diverge):
     observer" from the world position (the reference keeps the first
     observer and re-anchors on removal, map_manager.cpp:515-675) — same
     geometry, self-healing under ring eviction;
-  * descriptor bags with most-representative selection
-    (map_point.cpp:131-181) are replaced by latest-descriptor-wins;
+  * descriptor bags keep a fixed-size ring per landmark with medoid
+    re-election (``_push_descriptor_bags`` below; map_point.cpp:131-181
+    keeps an unbounded vector) — same most-representative semantics over
+    the last G observations instead of all of them;
   * matchingToLocalMap (mapper.cpp:293-588) lands separately.
 """
 

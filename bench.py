@@ -260,6 +260,17 @@ def ate_vs_reference_video(poses, statuses):
         n_ref_runs=par["n_ref_runs"], overlap=par["overlap"])
     aux("rpe_vs_reference_video_rot", par["rpe_rot_deg"], "deg/frame",
         trans=round(par["rpe_trans"], 5))
+    # per-segment drift localization (VERDICT r4 item 8): in each
+    # 50-frame window, our ATE-to-closest-ref vs the reference's own
+    # pairwise spread there — shows WHERE disagreement accumulates and
+    # whether it ever leaves the reference's nondeterminism envelope
+    from alvaar_tpu.utils.parity import windowed_parity
+    wp = windowed_parity(statuses, poses, "ref_video.npz")
+    if wp is not None:
+        aux("video_parity_windows", wp["worst_ratio"], "x_ref_median",
+            inside_envelope=wp["inside_envelope"],
+            windows=[[w, round(o, 2), round(m, 2), round(x, 2)]
+                     for w, o, m, x in wp["windows"]])
     return par
 
 

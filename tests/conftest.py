@@ -24,8 +24,35 @@ jax.config.update("jax_platforms", "cpu")
 # most of their wall time re-compiling identical programs run-to-run on
 # this single-core host; the cache cuts repeat runs from minutes to
 # seconds.
+#
+# The cache dir is keyed by a HOST CPU-FEATURE FINGERPRINT: XLA:CPU's
+# AOT loader will load a cached executable compiled on a different
+# machine with only a warning ("Target machine feature +prefer-no-scatter
+# is not supported on the host machine ... could lead to execution
+# errors"), and the scatter/gather-emulation rewrites behind those
+# feature flags change f32 summation order — observed as a deterministic
+# accuracy shift in the multi-seed sweep when foreign artifacts load
+# (round-4 verdict item 2).  Fingerprinting the dir means a different
+# host recompiles instead of silently running mismatched code.
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feat = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(
+        (platform.machine() + feat).encode()).hexdigest()[:10]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/alvaar_jax_cache"))
+                  os.path.expanduser(
+                      f"~/.cache/alvaar_jax_cache_{_host_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402

@@ -54,3 +54,35 @@ class TestProfiler:
         for k in ("preprocess", "track", "keyframe_pipeline", "finalize",
                   "full_step"):
             assert k in out and out[k] >= 0.0
+
+
+class TestWindowedParity:
+    """Per-segment parity analysis (utils/parity.windowed_parity) against
+    the recorded reference-video goldens."""
+
+    def _golden(self):
+        from alvaar_tpu.utils.parity import load_golden
+        g = load_golden("ref_video.npz")
+        if g is None:
+            pytest.skip("ref_video.npz golden absent")
+        return g
+
+    def test_reference_run_is_inside_its_own_envelope(self):
+        from alvaar_tpu.utils.parity import windowed_parity
+        g = self._golden()
+        wp = windowed_parity(g["status"][0], g["poses"][0], "ref_video.npz")
+        assert wp is not None and len(wp["windows"]) >= 5
+        # run 0 scores ATE=0 against itself in every window
+        assert wp["worst_ratio"] < 1e-6 and wp["inside_envelope"]
+
+    def test_large_perturbation_leaves_envelope(self):
+        from alvaar_tpu.utils.parity import windowed_parity
+        g = self._golden()
+        poses = np.array(g["poses"][0], np.float64)
+        idx = np.where(np.asarray(g["status"][0]) == 1)[0]
+        span = np.linalg.norm(poses[idx][:, :3, 3].max(0)
+                              - poses[idx][:, :3, 3].min(0))
+        rng = np.random.default_rng(0)
+        poses[:, :3, 3] += rng.normal(scale=2.0 * span, size=(len(poses), 3))
+        wp = windowed_parity(g["status"][0], poses, "ref_video.npz")
+        assert wp is not None and not wp["inside_envelope"]
