@@ -222,6 +222,44 @@ def detect_loop(db: LoopDB, desc_q, valid_q, query_kf_id, *,
                           score=island_score[entry])
 
 
+@partial(jax.jit, static_argnames=("nndr", "iters", "min_inliers"))
+def verify_loop(db: LoopDB, entry, desc_q, px_q, valid_q, cam, pose0: SE3,
+                *, nndr: float = 0.8, iters: int = 8,
+                min_inliers: int = 12):
+    """Geometric verification of a DETECTED loop: NNDR-match the query
+    keyframe's descriptors to the entry's stored 3D landmarks, then
+    refine FROM THE CURRENT POSE with motion-only LM (solvers/pnp).
+
+    Verification is not cold recovery: by definition of a loop closure
+    the current pose is already near the truth up to accumulated drift,
+    so the solve must start there.  P3P-LMedS from scratch (relocalize
+    below, the right tool when tracking is LOST) picks the spurious
+    far branch when the matched landmarks are near-coplanar — observed
+    as |correction| ≈ the whole trajectory span on the two-plane test
+    scene — while LM from the current pose stays in the true basin and
+    returns the small drift correction.
+
+    Returns (pose T_cw, success, num_inliers)."""
+    from alvaar_tpu.solvers.pnp import pnp_refine
+    desc_db = db.desc[entry]
+    ok_db = db.kp_valid[entry] & db.lm_is3d[entry]
+    dist = hamming_matrix_matmul(desc_q, desc_db).astype(jnp.float32)
+    BIG = jnp.asarray(1e9, jnp.float32)
+    dist = jnp.where(ok_db[None, :] & valid_q[:, None], dist, BIG)
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best, second = -neg2[:, 0], -neg2[:, 1]
+    m_ok = (best <= second * nndr) & (best < 64.0)
+    pts_w = db.lm_pos[entry][idx2[:, 0]]
+    import math
+    res = pnp_refine(pose0, cam, pts_w, px_q, m_ok, iters=iters,
+                     huber_delta=math.sqrt(5.9915))
+    n_used = jnp.maximum(jnp.sum(m_ok), 1)
+    ok = ((res.num_inliers >= min_inliers)
+          & (res.num_inliers >= 0.5 * n_used)
+          & jnp.all(jnp.isfinite(res.pose.t)))
+    return res.pose, ok, res.num_inliers
+
+
 @partial(jax.jit, static_argnames=("nndr", "iters"))
 def relocalize(db: LoopDB, entry, desc_q, bearings_q, valid_q, key, *,
                focal, nndr: float = 0.8, iters: int = 100,

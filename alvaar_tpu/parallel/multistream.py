@@ -110,7 +110,7 @@ def loopclosure_phase(state: MapState, db, cam: Camera, cfg: SlamConfig,
     Returns (state, db, loop_found)."""
     from alvaar_tpu.geom.lie import SE3
     from alvaar_tpu.loopclosure.detector import (db_add, detect_loop,
-                                                 relocalize)
+                                                 verify_loop)
     from alvaar_tpu.worldmap.state import apply_world_correction
 
     slot = state.cur_kf_slot
@@ -120,17 +120,21 @@ def loopclosure_phase(state: MapState, db, cam: Camera, cfg: SlamConfig,
     kf_id = state.kf_id[slot]
     pose = jax.tree.map(lambda x: x[slot], state.kf_pose)
 
-    db, res = detect_loop(db, desc, valid, kf_id, delay=delay)
+    # window residency floors the delay — in-window keyframes are local
+    # BA's job, not loop candidates (see system.py loop_delay note)
+    db, res = detect_loop(db, desc, valid, kf_id,
+                          delay=max(delay, cfg.window_size))
     db = db_add(db, desc, state.lm_pos[lm], state.lm_is3d[lm] & valid,
                 valid, kf_id, pose)
 
-    key, sub = jax.random.split(state.rng_key)
-    state = state._replace(rng_key=key)
-    r = relocalize(db, res.entry, desc,
-                   cam.bearing(state.kf_obs_px[slot]), valid, sub,
-                   focal=0.5 * (cam.fx + cam.fy))
-    confirm = res.found & r.success
-    T_reloc_wc = SE3(r.pose.q, r.pose.t).inverse()
+    # verification refines FROM THE CURRENT POSE (motion-only LM) — the
+    # same degenerate-P3P guard as the host facade (detector.verify_loop
+    # docstring): cold P3P belongs to lost-state relocalization only.
+    r_pose, r_ok, _ = verify_loop(db, res.entry, desc,
+                                  state.kf_obs_px[slot], valid, cam,
+                                  SE3(pose.q, pose.t))
+    confirm = res.found & r_ok
+    T_reloc_wc = SE3(r_pose.q, r_pose.t).inverse()
     dT = T_reloc_wc.compose(SE3(state.pose.q, state.pose.t))
     corrected = apply_world_correction(state, dT)
     state = jax.tree.map(lambda a, c: jnp.where(confirm, a, c),

@@ -155,7 +155,17 @@ class AlvaAR:
         self.loop_db = None
         self.last_loop = None
         self.last_loop_correction = None
-        self.loop_delay = loop_delay
+        self.last_loop_inliers = 0
+        # Keyframes still inside the live optimization window are NOT
+        # loop candidates: their geometry is already constrained by
+        # local BA, their DB entries are stale snapshots of a map the
+        # BA keeps moving, and a "correction" against one fights the
+        # optimizer (observed: corrections vs in-window entries grew
+        # terminal drift on the out-and-back e2e).  The reference's
+        # p-frame delay plays the same no-recent-frames role
+        # (lcdetector.h:51); window residency is the engine-correct
+        # floor for it.
+        self.loop_delay = max(loop_delay, self.config.window_size)
         if enable_loop_closure:
             from alvaar_tpu.loopclosure.detector import db_init
             self.loop_db = db_init(loop_db_capacity, self.config.max_keypoints)
@@ -367,6 +377,16 @@ class AlvaAR:
     def _loop_closure_hooks(self, res: PendingResult) -> None:
         if self.loop_db is None:
             return
+        # EVERY surviving keyframe must reach the loop database — the
+        # reference hands each keyframe to the detector unconditionally
+        # (lcdetector.cc:54-69).  The r3 "pipelined facade" regression
+        # gated this hook on status==1, which left bootstrap keyframes
+        # out of the database entirely and on short loops starved the
+        # delay-gated candidate set to zero.  Bootstrap keyframes are
+        # NOT pushed at creation though (their landmarks are not
+        # triangulated yet — a snapshot then is geometry-free, is3d=0):
+        # the first tracking-keyframe hook backfills every older live
+        # keyframe with its live, triangulated geometry (_on_keyframe).
         if res.status == 1 and res.is_keyframe:
             self._on_keyframe()
         # auto-relocalization: when PnP keeps failing and a reset is
@@ -379,40 +399,65 @@ class AlvaAR:
             self._try_autorelocalize()
 
     # ------------------------------------------------------------------
+    def _push_kf_to_db(self, slot: int) -> None:
+        """db_add of one live keyframe ring slot."""
+        from alvaar_tpu.loopclosure.detector import db_add
+        st = self.state
+        lm = st.kf_obs_lm[slot]
+        valid = st.kf_obs_valid[slot] & st.lm_valid[lm]
+        self.loop_db = db_add(
+            self.loop_db, st.lm_desc[lm], st.lm_pos[lm],
+            st.lm_is3d[lm] & valid, valid, st.kf_id[slot],
+            SE3(st.kf_pose.q[slot], st.kf_pose.t[slot]))
+
     def _on_keyframe(self) -> None:
         """Push the new keyframe into the loop database, query it, and —
         on a confirmed loop — apply a world-frame gauge correction
         (reference pipeline lcdetector.cc:54-267 stops at detection; the
         correction step exceeds parity, see apply_world_correction)."""
-        from alvaar_tpu.loopclosure.detector import (db_add, detect_loop,
-                                                     relocalize)
+        from alvaar_tpu.loopclosure.detector import detect_loop
 
         st = self.state
         slot = int(st.cur_kf_slot)
+        if int(self.loop_db.ptr) == 0:
+            # Backfill keyframes created before the first hook fired
+            # (bootstrap keyframes, created while status was still 3):
+            # every live ring slot older than the current keyframe, in
+            # id order, snapshotted NOW — after init triangulation — so
+            # their entries carry real 3D geometry for verification.
+            ids = np.asarray(st.kf_id)
+            live = np.asarray(st.kf_valid)
+            older = [i for i in range(len(ids))
+                     if live[i] and i != slot and ids[i] < int(ids[slot])]
+            for s2 in sorted(older, key=lambda i: ids[i]):
+                self._push_kf_to_db(int(s2))
         lm = st.kf_obs_lm[slot]
         desc = st.lm_desc[lm]
         kf_id = st.kf_id[slot]
-        pose = SE3(st.kf_pose.q[slot], st.kf_pose.t[slot])
         valid = st.kf_obs_valid[slot] & st.lm_valid[lm]
-        self.loop_db, res = detect_loop(self.loop_db, desc, valid, kf_id,
-                                        delay=self.loop_delay)
-        self.loop_db = db_add(
-            self.loop_db, desc, st.lm_pos[lm],
-            st.lm_is3d[lm] & valid, valid, kf_id, pose)
+        self.loop_db, res = detect_loop(self.loop_db, desc, valid,
+                                        kf_id, delay=self.loop_delay)
+        self._push_kf_to_db(slot)
         self.last_loop = res if bool(res.found) else None
         self.last_loop_correction = None
         if self.last_loop is not None:
-            # geometric verification + correction: P3P the current frame
-            # against the matched entry's stored 3D landmarks
-            key, sub = jax.random.split(st.rng_key)
-            self.state = st = st._replace(rng_key=key)
-            r = relocalize(self.loop_db, res.entry, desc,
-                           self.camera.bearing(st.kf_obs_px[slot]), valid,
-                           sub,
-                           focal=0.5 * (self.camera.fx + self.camera.fy))
-            if bool(r.success):
+            # geometric verification + correction: motion-only LM from
+            # the CURRENT pose against the matched entry's stored 3D
+            # landmarks (detector.verify_loop).  Verification must start
+            # from the current pose — P3P from scratch picks the
+            # spurious far branch on near-coplanar matches and its
+            # "correction" then REPLACES drift with a trajectory-scale
+            # jump (observed: |dT| 1.85 on a 1.8 m track); the cold
+            # P3P path stays in relocalize() where it belongs.
+            from alvaar_tpu.loopclosure.detector import verify_loop
+            pose_kf = SE3(st.kf_pose.q[slot], st.kf_pose.t[slot])
+            r_pose, r_ok, n_in = verify_loop(
+                self.loop_db, res.entry, desc, st.kf_obs_px[slot], valid,
+                self.camera, pose_kf)
+            self.last_loop_inliers = int(n_in)
+            if bool(r_ok):
                 from alvaar_tpu.worldmap.state import apply_world_correction
-                T_reloc_wc = SE3(r.pose.q, r.pose.t).inverse()
+                T_reloc_wc = SE3(r_pose.q, r_pose.t).inverse()
                 T_cur_cw = SE3(st.pose.q, st.pose.t)
                 dT = T_reloc_wc.compose(T_cur_cw)   # world_old → world_loop
                 self.state = apply_world_correction(st, dT)

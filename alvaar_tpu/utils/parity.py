@@ -122,8 +122,14 @@ def windowed_parity(our_status: np.ndarray, our_poses: np.ndarray,
     in EVERY window — i.e. locally indistinguishable from one more
     reference run, with no segment where we quietly diverge.
 
+    Two grades are reported: ``inside_envelope`` (strict — ≤ the MEDIAN
+    pairwise spread in every window) and ``within_max`` (≤ the MAX
+    observed pairwise spread in every window, i.e. never outside the
+    spread reference runs actually exhibit among themselves).
+
     Returns {windows: [(w0, ours_pct, ref_median_pct, ref_max_pct)],
-    worst_ratio, inside_envelope} or None."""
+    worst_ratio, inside_envelope, worst_ratio_max, within_max} or
+    None."""
     g = load_golden(golden_name)
     if g is None:
         return None
@@ -164,8 +170,11 @@ def windowed_parity(our_status: np.ndarray, our_poses: np.ndarray,
     if not rows:
         return None
     worst = float(max(ratios))
+    worst_max = float(max(o / max(x, 1e-9) for _, o, _, x in rows))
     return {"windows": rows, "worst_ratio": worst,
-            "inside_envelope": bool(worst <= 1.0)}
+            "inside_envelope": bool(worst <= 1.0),
+            "worst_ratio_max": worst_max,
+            "within_max": bool(worst_max <= 1.0)}
 
 
 def ate_vs_reference(our_status: np.ndarray, our_poses: np.ndarray,

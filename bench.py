@@ -87,7 +87,16 @@ def render_frames_cached(seed, width, height, fov, tex_scale, gt):
     return frames
 
 
-def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
+def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3, matched=None):
+    """``matched``: optional (frames_np [M,H,W], offs [B], N) — after the
+    timed slice-0 run, evaluate the SAME compiled program on every
+    stream's staggered slice and return the median per-slice ATE.  The
+    multistream-vs-single accuracy ratio must compare the multistream
+    median (over B slices) against single-stream medians on the SAME B
+    slices: slice difficulty varies ~25x on this trajectory (measured
+    0.55-14.2 cm across the 16 slices on v5e), so the old slice-0-only
+    denominator (0.76 cm, one of the easiest) inflated the serving
+    "penalty" to 2.38x when the like-for-like value is ~1.17x."""
     from alvaar_tpu.frontend.step import slam_step
     from alvaar_tpu.worldmap.state import init_map_state
     from render_scene import ate_rmse
@@ -119,6 +128,22 @@ def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
     ate = (ate_rmse(poses[idx][:, :3, 3], gt[idx][:, :3, 3])
            if len(idx) >= 10 else float("nan"))
 
+    matched_median = None
+    if matched is not None:
+        frames_np, offs, n_sl = matched
+        ates = []
+        for o in offs:
+            fd = jax.device_put(jnp.asarray(frames_np[o:o + n_sl],
+                                            jnp.float32))
+            _, (st_b, ps_b) = jax.block_until_ready(run_all(state0, fd))
+            st_b, ps_b = np.asarray(st_b), np.asarray(ps_b)
+            ib = np.where(st_b == 1)[0]
+            if len(ib) >= 10:
+                gt_b = gt[o:o + n_sl]
+                ates.append(ate_rmse(ps_b[ib][:, :3, 3],
+                                     gt_b[ib][:, :3, 3]))
+        matched_median = float(np.median(ates)) if ates else float("nan")
+
     # accuracy parity vs the NATIVE reference engine on the same frames
     # (tools/ref_native; BASELINE: ATE within 1% of the WASM reference)
     from alvaar_tpu.utils.parity import ate_vs_reference
@@ -128,7 +153,7 @@ def bench_single(jax, jnp, cfg, cam, frames_dev, gt, reps=3):
             ref_noise_pct=round(par["ref_noise_pct"], 3),
             median_pairwise=round(par["ref_noise_median_pct"], 3),
             overlap=par["overlap"], passed=par["parity_pass"])
-    return N / wall, ate, len(idx)
+    return N / wall, ate, len(idx), matched_median
 
 
 def bench_multistream(jax, jnp, cfg, cam, frames_np, gt, B, kf_slots,
@@ -269,6 +294,8 @@ def ate_vs_reference_video(poses, statuses):
     if wp is not None:
         aux("video_parity_windows", wp["worst_ratio"], "x_ref_median",
             inside_envelope=wp["inside_envelope"],
+            worst_ratio_max=round(wp["worst_ratio_max"], 3),
+            within_max=wp["within_max"],
             windows=[[w, round(o, 2), round(m, 2), round(x, 2)]
                      for w, o, m, x in wp["windows"]])
     return par
@@ -534,6 +561,13 @@ def bench_ba_10k(jax, jnp):
 
     t1 = best(chain(1))
     t9 = best(chain(9))
+    if t9 < t1:
+        # a failed/noisy measurement must be visible, not clamped to ~0
+        # (ADVICE r4: an inverted difference would fabricate a perfect
+        # latency) — report the single-dispatch wall instead
+        log(f"WARN BA timing inverted (t1={t1 * 1e3:.2f}ms "
+            f"t9={t9 * 1e3:.2f}ms); reporting single-dispatch")
+        return t1 * 1e3, t1 * 1e3
     return (t9 - t1) / 8 * 1e3, t1 * 1e3
 
 
@@ -638,16 +672,23 @@ def main():
             held.clear()
 
     def stage_single():
-        fps1, ate1, tracked1 = bench_single(
+        offs = [3 * b for b in range(args.streams)]
+        fps1, ate1, tracked1, matched_med = bench_single(
             jax, jnp, cfg, cam,
             jax.device_put(jnp.asarray(frames_np[:args.frames],
-                                       jnp.float32)), gt)
+                                       jnp.float32)), gt,
+            matched=(frames_np, offs, args.frames))
         aux("single_stream_fps", fps1, "frames/sec",
             latency_ms=round(1e3 / fps1, 2))
         aux("single_stream_ate", ate1 * 100, "cm",
             tracked=f"{tracked1}/{args.frames}")
+        # like-for-like serving penalty: multistream median over B slices
+        # vs single-stream median over the SAME B slices (see
+        # bench_single docstring; slice-0-only was a 2x confound)
         aux("multistream_vs_single_ate_ratio",
-            ms_ate / max(ate1, 1e-9), "x", bound=2.5)
+            ms_ate / max(matched_med or ate1, 1e-9), "x", bound=1.5,
+            single_matched_median_cm=round((matched_med or 0) * 100, 3),
+            single_slice0_cm=round(ate1 * 100, 3))
 
     def stage_ba():
         ms, ms_launch = bench_ba_10k(jax, jnp)

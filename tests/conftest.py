@@ -26,14 +26,16 @@ jax.config.update("jax_platforms", "cpu")
 # seconds.
 #
 # The cache dir is keyed by a HOST CPU-FEATURE FINGERPRINT: XLA:CPU's
-# AOT loader will load a cached executable compiled on a different
-# machine with only a warning ("Target machine feature +prefer-no-scatter
-# is not supported on the host machine ... could lead to execution
-# errors"), and the scatter/gather-emulation rewrites behind those
-# feature flags change f32 summation order — observed as a deterministic
-# accuracy shift in the multi-seed sweep when foreign artifacts load
-# (round-4 verdict item 2).  Fingerprinting the dir means a different
-# host recompiles instead of silently running mismatched code.
+# AOT loader will load a cached executable compiled on a machine with a
+# different feature set with only a warning ("... could lead to
+# execution errors such as SIGILL").  Fingerprinting the dir means a
+# genuinely different host recompiles instead of running mismatched
+# code.  (Ruled out as the round-4 accuracy-sweep divergence, though:
+# a fresh-cache run reproduces the identical seed-5 number, and the
+# loader prints the warning even for same-host artifacts because XLA
+# appends its own tuning flags — prefer-no-scatter/prefer-no-gather —
+# to the "machine features" it diffs.  This keying is hygiene, not the
+# sweep fix; the sweep bars document the real platform divergence.)
 def _host_fingerprint() -> str:
     import hashlib
     import platform

@@ -212,3 +212,62 @@ class TestWorldCorrection:
         out = apply_world_correction(st, dT)
         ang, dt = pose_error(out.pose, T_reloc_cw)
         assert ang < 1e-3 and dt < 1e-4
+
+
+class TestVerifyLoop:
+    """verify_loop: geometric loop verification by motion-only LM from
+    the current pose (detector.verify_loop) — the degenerate-P3P-safe
+    path the world correction rides on."""
+
+    def _entry(self, rng, pts):
+        from alvaar_tpu.loopclosure.detector import verify_loop  # noqa
+        desc = random_descs(rng)
+        db = db_init(16, K)
+        db = db_add(db, desc, pts, jnp.ones(K, bool), jnp.ones(K, bool),
+                    jnp.asarray(0, jnp.int32), SE3.identity())
+        return db, desc
+
+    def test_recovers_small_drift(self, rng):
+        from alvaar_tpu.loopclosure.detector import verify_loop
+        pose_true = random_pose(rng)
+        pts = scene_points(rng, K)
+        db, desc = self._entry(rng, pts)
+        px, _, _ = observe(pose_true, CAM, pts, noise_px=0.2, rng=rng)
+        # current pose = truth + small drift (the loop-closure premise)
+        pose_drifted = pose_true.retract(jnp.asarray(
+            rng.normal(size=6) * 0.03, jnp.float32))
+        q = perturb(rng, desc, bits=6)
+        pose, ok, n_in = verify_loop(db, jnp.asarray(0), q, px,
+                                     jnp.ones(K, bool), CAM, pose_drifted)
+        assert bool(ok) and int(n_in) >= 12
+        ang, dt = pose_error(pose, pose_true)
+        assert ang < 0.5 and dt < 0.05
+
+    def test_planar_landmarks_no_far_branch(self, rng):
+        """Near-coplanar landmarks: P3P-LMedS picks a spurious far
+        solution here (why verify_loop exists); LM from the current pose
+        must either return a pose near the truth or fail — never succeed
+        with a trajectory-scale jump."""
+        from alvaar_tpu.loopclosure.detector import verify_loop
+        pose_true = random_pose(rng)
+        pts = scene_points(rng, K)
+        pts = pts.at[:, 2].set(5.0 + 0.02 * pts[:, 2])   # squash to a plane
+        db, desc = self._entry(rng, pts)
+        px, _, _ = observe(pose_true, CAM, pts, noise_px=0.2, rng=rng)
+        pose_drifted = pose_true.retract(jnp.asarray(
+            rng.normal(size=6) * 0.03, jnp.float32))
+        q = perturb(rng, desc, bits=6)
+        pose, ok, _ = verify_loop(db, jnp.asarray(0), q, px,
+                                  jnp.ones(K, bool), CAM, pose_drifted)
+        if bool(ok):
+            ang, dt = pose_error(pose, pose_true)
+            assert dt < 0.2, f"verified pose jumped {dt:.2f} units"
+
+    def test_fails_on_garbage_matches(self, rng):
+        from alvaar_tpu.loopclosure.detector import verify_loop
+        pts = scene_points(rng, K)
+        db, _ = self._entry(rng, pts)
+        px = jnp.asarray(rng.uniform([0, 0], [640, 480], (K, 2)), jnp.float32)
+        pose, ok, _ = verify_loop(db, jnp.asarray(0), random_descs(rng), px,
+                                  jnp.ones(K, bool), CAM, SE3.identity())
+        assert not bool(ok)
